@@ -1,0 +1,229 @@
+"""Stage 1 — detection: locate content regions ("boxes") in a turn's text.
+
+Pipeline (reference analog in parens, all /root/reference/src/det.rs):
+
+1. build the line×column grid               (preprocess, det.rs:176-230)
+2. per-line content score 0..255            (run_model's prob map, det.rs:232-349)
+3. binarize at THRESHOLD=200, find per-line
+   non-markup runs = external contours      (find_contours, det.rs:351-360)
+4. bounding box, drop width/height<=5       (bounding_rect, det.rs:491-518)
+5. border expansion, clamped                (find_box, det.rs:363-380)
+6. optional transitive overlap merge        (merge_overlapping_boxes, det.rs:388-424)
+
+Deviation from the reference geometry, by design: horizontal border
+expansion clamps at the enclosing non-markup segment (markup characters
+are background, not image), so crops never contain cut-open tags.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .config import (
+    DEFAULT_CONFIG,
+    EngineConfig,
+    GLYPH_BOTTOM,
+    GLYPH_TOP,
+    LINE_HEIGHT,
+    MARKUP_WEIGHT,
+    MIN_BOX_SIZE,
+    THRESHOLD,
+    VERTICAL_CLOSENESS,
+)
+from .textgrid import anchor_mask, codepoints, is_boiler_line, markup_mask
+
+_WS_CODES = (9, 32)  # tab, space
+
+
+@dataclass(frozen=True)
+class Box:
+    """Axis-aligned region in grid coordinates (x = char column, y = grid
+    sub-row). Same shape as imageproc Rect {left, top, width, height}."""
+
+    left: int
+    top: int
+    width: int
+    height: int
+
+    @property
+    def right(self) -> int:
+        return self.left + self.width - 1
+
+    @property
+    def bottom(self) -> int:
+        return self.top + self.height - 1
+
+
+class TurnGrid:
+    """Parsed grid for one turn's text: lines, offsets, markup mask."""
+
+    __slots__ = ("text", "lines", "line_offsets", "cp", "mk", "grid_w", "grid_h")
+
+    def __init__(self, text: str):
+        # \r and \f are line separators too; same-length replacement keeps
+        # char offsets identical to the original text
+        self.text = text.replace("\r", "\n").replace("\f", "\n")
+        self.lines = self.text.split("\n")
+        offs, pos = [], 0
+        for ln in self.lines:
+            offs.append(pos)
+            pos += len(ln) + 1
+        self.line_offsets = offs
+        self.cp = codepoints(self.text)
+        self.mk = markup_mask(self.text)
+        self.grid_w = max((len(ln) for ln in self.lines), default=0)
+        self.grid_h = len(self.lines) * LINE_HEIGHT
+
+
+def line_scores(grid: TurnGrid) -> np.ndarray:
+    """Per-line content score in 0..255 — the probability map.
+
+    score = 255 * text_density * (1 - link_density), truncated like the
+    reference's ``(p*255).min(255) as u8`` (det.rs:342), where
+    text_density = text_chars / (text_chars + MARKUP_WEIGHT*markup_chars)
+    and link_density = anchor text chars / text chars. Layout boilerplate
+    lines ([HEADER]/[FOOTER]/[PAGE n] markers) score 0.
+    """
+    n_lines = len(grid.lines)
+    cp, mk = grid.cp, grid.mk
+    if len(cp) == 0:
+        return np.zeros(n_lines, dtype=np.int64)
+    nl = cp == 10
+    line_id = np.cumsum(nl) - nl  # newline char belongs to the line it ends
+    ws = np.isin(cp, _WS_CODES) | nl
+    vis_ns = ~mk & ~ws
+    an = anchor_mask(grid.text)
+
+    n_text = np.bincount(line_id[vis_ns], minlength=n_lines).astype(np.float64)
+    n_markup = np.bincount(line_id[mk], minlength=n_lines).astype(np.float64)
+    n_anchor = np.bincount(line_id[an & vis_ns], minlength=n_lines).astype(np.float64)
+
+    text_density = np.divide(
+        n_text, n_text + MARKUP_WEIGHT * n_markup,
+        out=np.zeros(n_lines), where=n_text > 0,
+    )
+    link_density = np.divide(
+        n_anchor, np.maximum(n_text, 1.0), out=np.zeros(n_lines), where=n_text > 0
+    )
+    score = np.minimum((text_density * (1.0 - link_density) * 255.0), 255.0)
+    score = score.astype(np.int64)
+    for y, ln in enumerate(grid.lines):
+        if score[y] > 0 and is_boiler_line(ln):
+            score[y] = 0
+    return score
+
+
+def find_text_boxes(
+    grid: TurnGrid, config: EngineConfig = DEFAULT_CONFIG
+) -> list[Box]:
+    """Full detection: grid → ordered list of boxes (find_text_rect,
+    det.rs:121-132). Order = discovery order: top line first, left to
+    right within a line (contour discovery order analog)."""
+    scores = line_scores(grid)
+    on = scores > THRESHOLD
+    border = config.rect_border_size
+    boxes: list[Box] = []
+    for y in np.flatnonzero(on):
+        ls = grid.line_offsets[y]
+        le = ls + len(grid.lines[y])
+        if le <= ls:
+            continue
+        seg_ok = ~grid.mk[ls:le]
+        d = np.diff(np.concatenate(([0], seg_ok.astype(np.int8), [0])))
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        ws = np.isin(grid.cp[ls:le], _WS_CODES)
+        for s, e in zip(starts, ends):
+            nz = np.flatnonzero(~ws[s:e])
+            if nz.size == 0:
+                continue
+            c0 = int(s + nz[0])
+            c1 = int(s + nz[-1])
+            # width without +1, mirroring bounding_rect (det.rs:509-510);
+            # glyph height is constant 15 so only width can fail the filter
+            if c1 - c0 <= MIN_BOX_SIZE:
+                continue
+            left = max(c0 - border, int(s))
+            right = min(c1 + border, int(e) - 1)
+            top = max(int(y) * LINE_HEIGHT + GLYPH_TOP - border, 0)
+            bottom = min(int(y) * LINE_HEIGHT + GLYPH_BOTTOM + border, grid.grid_h - 1)
+            # +1 here, mirroring find_box (det.rs:375-376)
+            boxes.append(Box(left, top, right - left + 1, bottom - top + 1))
+    if config.merge_boxes:
+        boxes = merge_overlapping_boxes(boxes, config.merge_threshold)
+    return boxes
+
+
+def boxes_overlap_with_threshold(a: Box, b: Box, threshold: int) -> bool:
+    """Horizontal overlap within ±threshold AND vertical closeness within
+    40% of the smaller height — verbatim predicate from det.rs:429-464."""
+    a_left, a_right = a.left - threshold, a.right + threshold
+    b_left, b_right = b.left - threshold, b.right + threshold
+    horizontal = not (a_right < b_left or b_right < a_left)
+    vt = int(min(a.height, b.height) * VERTICAL_CLOSENESS)
+    if a.top <= b.top:
+        vertical = a.bottom + vt >= b.top
+    else:
+        vertical = b.bottom + vt >= a.top
+    return horizontal and vertical
+
+
+def merge_boxes(a: Box, b: Box) -> Box:
+    """Union of two boxes (det.rs:469-486)."""
+    left = min(a.left, b.left)
+    right = max(a.right, b.right)
+    top = min(a.top, b.top)
+    bottom = max(a.bottom, b.bottom)
+    return Box(left, top, right - left + 1, bottom - top + 1)
+
+
+def merge_overlapping_boxes(boxes: list[Box], threshold: int) -> list[Box]:
+    """Iterative transitive merge, verbatim algorithm from det.rs:388-424
+    (pop head, absorb every overlapping box, re-queue at the FRONT when
+    anything merged so A∪B can still absorb C)."""
+    result: list[Box] = []
+    queue = list(boxes)
+    while queue:
+        merged = queue.pop(0)
+        merged_any = False
+        i = 0
+        while i < len(queue):
+            if boxes_overlap_with_threshold(merged, queue[i], threshold):
+                merged = merge_boxes(merged, queue.pop(i))
+                merged_any = True
+            else:
+                i += 1
+        if merged_any:
+            queue.insert(0, merged)
+        else:
+            result.append(merged)
+    return result
+
+
+def crop_box(grid: TurnGrid, box: Box) -> tuple[str, int, int]:
+    """Extract a box's text (find_text_img / crop_imm analog, det.rs:137-152).
+
+    Markup characters inside the crop window are blanked to spaces (they
+    are background pixels); lines joined by \\n. Returns
+    (crop_text, span_start, span_end) with char offsets into the original
+    turn text (half-open)."""
+    y0 = min(box.top // LINE_HEIGHT, len(grid.lines) - 1)
+    y1 = min(box.bottom // LINE_HEIGHT, len(grid.lines) - 1)
+    right = box.right
+    parts = []
+    for y in range(y0, y1 + 1):
+        ln = grid.lines[y]
+        off = grid.line_offsets[y]
+        a = min(box.left, len(ln))
+        b = min(right + 1, len(ln))
+        if b <= a:
+            parts.append("")
+            continue
+        seg = grid.cp[off + a : off + b].copy()
+        seg[grid.mk[off + a : off + b]] = 32
+        parts.append(seg.tobytes().decode("utf-32-le"))
+    span_start = grid.line_offsets[y0] + min(box.left, len(grid.lines[y0]))
+    span_end = grid.line_offsets[y1] + min(right + 1, len(grid.lines[y1]))
+    return "\n".join(parts), span_start, span_end

@@ -1,0 +1,90 @@
+"""P1 — the fused per-turn pipeline: detect → crop → recognize → assemble.
+
+Analog of ``OcrEngine::process_ocr`` (engine.rs:413-437): stage-1 boxes in
+discovery order, then per-box recognition in that same order (the ordering
+invariant), assembled into a blocks array plus a joined ``full_text``
+(text-mode sink analog, main.rs:199-208).
+
+Error semantics deviate deliberately: the reference aborts a whole image
+on the first region error; at 10^12-turn scale a poison turn must not kill
+a task, so errors are captured per-turn into an error struct (codes from
+the reference's OcrError taxonomy, error.rs:8-69).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .config import DEFAULT_CONFIG, EngineConfig
+from .detect import Box, TurnGrid, crop_box, find_text_boxes
+from .recognize import canonicalize, classify_block, decode
+from .textgrid import char_scores
+
+
+@dataclass(frozen=True)
+class Block:
+    pos: int
+    text: str
+    confidence: float
+    block_type: str
+    left: int
+    top: int
+    width: int
+    height: int
+    start: int  # char offset span into the original turn text, half-open
+    end: int
+
+
+@dataclass(frozen=True)
+class TurnResult:
+    blocks: list[Block] = field(default_factory=list)
+    full_text: str = ""
+    error_code: str | None = None
+    error_msg: str | None = None
+
+
+# OcrError variant names we can meaningfully hit (error.rs:8-69)
+ERR_INPUT = "InputError"
+ERR_INFERENCE = "InferenceError"
+
+
+def extract_turn(text: str | None, config: EngineConfig = DEFAULT_CONFIG) -> TurnResult:
+    """Extract all content blocks from one turn's text."""
+    if text is None:
+        return TurnResult(error_code=ERR_INPUT, error_msg="null text")
+    try:
+        grid = TurnGrid(text)
+        boxes = find_text_boxes(grid, config)
+        blocks: list[Block] = []
+        for pos, box in enumerate(boxes):
+            crop, start, end = crop_box(grid, box)
+            canon = canonicalize(crop, config.max_rec_lines)
+            cp, scores, blank = char_scores(canon)
+            d_cp, d_sc = decode(cp, scores, blank, config)
+            decoded = d_cp.tobytes().decode("utf-32-le")
+            if len(d_sc) == 0:
+                conf = 0.0
+            else:
+                conf = float(
+                    np.float32(d_sc.sum(dtype=np.float32)) / np.float32(len(d_sc))
+                )
+            blocks.append(
+                Block(
+                    pos=pos,
+                    text=decoded,
+                    confidence=conf,
+                    block_type=classify_block(canon),
+                    left=box.left,
+                    top=box.top,
+                    width=box.width,
+                    height=box.height,
+                    start=start,
+                    end=end,
+                )
+            )
+        full_text = "\n".join(b.text for b in blocks)
+        return TurnResult(blocks=blocks, full_text=full_text)
+    except Exception as e:  # pragma: no cover - defensive at scale
+        return TurnResult(error_code=ERR_INFERENCE, error_msg=str(e)[:500])

@@ -1,0 +1,161 @@
+"""Stage 2 — recognition: decode one cropped block into clean text.
+
+Pipeline (reference analog in parens, all /root/reference/src/rec.rs):
+
+1. canonicalize: NFC, newline/tab folding, HTML entity decode, "resize"
+   to at most 48 lines                       (preprocess, rec.rs:226-251)
+2. deterministic per-char confidence model   (run_model argmax, rec.rs:341-357)
+3. CTC-style greedy decode: blanks reset, repeats dropped except
+   punctuation, dual thresholds 0.6/0.1 with the 0.8×punct borderline
+   branch that keeps the char WITHOUT touching last_char
+                                             (rec.rs:359-383)
+4. consecutive-identical-punctuation collapse (rec.rs:385-398)
+5. avg confidence over decoded chars, ("",0.0) when empty
+                                             (predict_with_confidence, rec.rs:172-187)
+
+The decode state machine is fully vectorized (numpy): positions are
+classified RESET / HIGH / BORDERLINE; for every HIGH position the previous
+state-changing position decides duplicate suppression, computed with one
+searchsorted — no per-char Python.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import numpy as np
+
+from .config import DEFAULT_CONFIG, EngineConfig
+from .textgrid import char_scores, punct_mask
+
+_ENTITY_RE = re.compile(r"&(amp|lt|gt|quot|apos|nbsp|#\d{1,7});")
+_ENTITY_MAP = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'", "nbsp": " ",
+}
+
+
+def _entity_sub(m: re.Match) -> str:
+    g = m.group(1)
+    if g.startswith("#"):
+        code = int(g[1:])
+        return chr(code) if code <= 0x10FFFF else m.group(0)
+    return _ENTITY_MAP[g]
+
+
+def canonicalize(text: str, max_lines: int = 48) -> str:
+    """R1 preprocess: the text analog of "resize to height 48 keeping
+    aspect" (rec.rs:228-231) — NFC normalize, fold newlines/tabs, decode
+    entities, and if taller than ``max_lines`` lines, resample lines
+    uniformly (index i → line i*h//48, the resize_exact analog)."""
+    t = unicodedata.normalize("NFC", text)
+    t = t.replace("\r\n", "\n").replace("\r", "\n").replace("\f", "\n")
+    t = t.replace("\t", " ")
+    t = _ENTITY_RE.sub(_entity_sub, t)
+    lines = t.split("\n")
+    h = len(lines)
+    if h > max_lines:
+        lines = [lines[(i * h) // max_lines] for i in range(max_lines)]
+        t = "\n".join(lines)
+    return t
+
+
+def decode(
+    cp: np.ndarray,
+    scores: np.ndarray,
+    blank: np.ndarray,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> tuple[np.ndarray, np.ndarray]:
+    """R3+R4+R5 greedy decode. Returns (codepoints, scores) of the kept
+    characters, in order. Semantics verbatim from rec.rs:344-398:
+
+    - blank position → last_char = None, emit nothing
+    - score > threshold (punct 0.1 else 0.6):
+        emit unless last_char == ch and ch not punctuation; last_char = ch
+    - else if punctuation and score > 0.8*0.1: emit, last_char UNCHANGED
+    - else: last_char = None
+    - post-pass: consecutive identical punctuation collapsed to the first
+    """
+    n = len(cp)
+    if n == 0:
+        return cp, scores
+    punct = punct_mask(cp)
+    thr = np.where(punct, np.float32(config.punct_min_score),
+                   np.float32(config.min_score))
+    high = (scores > thr) & ~blank
+    borderline = (
+        ~high & ~blank & punct
+        & (scores > np.float32(config.punct_min_score) * np.float32(0.8))
+    )
+    # cls: 1 = HIGH (sets last_char), 2 = BORDERLINE (state untouched),
+    # 0 = RESET (blank or failed threshold)
+    cls = np.zeros(n, dtype=np.int8)
+    cls[high] = 1
+    cls[borderline] = 2
+
+    state_idx = np.flatnonzero(cls != 2)
+    k = np.searchsorted(state_idx, np.arange(n), side="left") - 1
+    has_prev = k >= 0
+    prev = state_idx[np.maximum(k, 0)]
+    dup = (
+        high & ~punct & has_prev
+        & (cls[prev] == 1) & (cp[prev] == cp)
+    )
+    emit = (high & ~dup) | borderline
+
+    e_cp = cp[emit]
+    e_sc = scores[emit]
+    e_punct = punct[emit]
+    if len(e_cp) == 0:
+        return e_cp, e_sc
+    keep = np.ones(len(e_cp), dtype=bool)
+    keep[1:] = ~(e_punct[1:] & (e_cp[1:] == e_cp[:-1]))
+    return e_cp[keep], e_sc[keep]
+
+
+def predict_char_score(
+    text: str, config: EngineConfig = DEFAULT_CONFIG
+) -> tuple[str, np.ndarray]:
+    """R6 (rec.rs:152-159): crop text → (decoded text, per-char scores)."""
+    canon = canonicalize(text, config.max_rec_lines)
+    cp, scores, blank = char_scores(canon)
+    d_cp, d_sc = decode(cp, scores, blank, config)
+    return d_cp.tobytes().decode("utf-32-le"), d_sc
+
+
+def predict_str(text: str, config: EngineConfig = DEFAULT_CONFIG) -> str:
+    """R7 (rec.rs:164-167)."""
+    return predict_char_score(text, config)[0]
+
+
+def predict_with_confidence(
+    text: str, config: EngineConfig = DEFAULT_CONFIG
+) -> tuple[str, float]:
+    """R8 (rec.rs:172-187): avg f32 confidence; ("",0.0) when empty."""
+    decoded, scores = predict_char_score(text, config)
+    if len(scores) == 0:
+        return "", 0.0
+    return decoded, float(np.float32(scores.sum(dtype=np.float32)) / np.float32(len(scores)))
+
+
+_LIST_RE = re.compile(r"\s*([-*•]|\d+[.)])\s")
+
+
+def classify_block(canon_text: str) -> str:
+    """DOM-heuristic block classification (north-star addition; the analog
+    of per-token content classification, R2). Deterministic rules over the
+    canonicalized crop: code fences / indented code, list markers, table
+    pipes, else prose; no visible lines → empty."""
+    if "```" in canon_text:
+        return "code"
+    lines = [l for l in canon_text.split("\n") if l.strip()]
+    if not lines:
+        return "empty"
+    n = len(lines)
+    if sum(1 for l in lines if l.startswith("    ")) * 2 >= n:
+        return "code"
+    if sum(1 for l in lines if _LIST_RE.match(l)) * 2 >= n:
+        return "list"
+    if sum(1 for l in lines if l.count("|") >= 2) * 2 >= n:
+        return "table"
+    return "prose"

@@ -1,0 +1,166 @@
+"""Shared low-level text-grid primitives (numpy-vectorized, no Spark).
+
+The reference operates on pixel buffers; this engine operates on a
+character grid: ``x`` = column within a line, ``y`` = line index scaled by
+``LINE_HEIGHT`` sub-rows (see config.py). Everything here is deterministic
+and pure so the same code backs both the single-node oracle and the Spark
+pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .config import (
+    GLYPH_BOTTOM,
+    GLYPH_TOP,
+    LINE_HEIGHT,
+    PUNCTUATIONS,
+    SCORE_EDGE_PUNCT,
+    SCORE_MARKUP,
+    SCORE_OTHER,
+    SCORE_PUNCT,
+    SCORE_WORD,
+)
+
+# --- regex scanners ------------------------------------------------------
+
+# order matters: comments / script / style are matched before generic tags
+_COMMENT_RE = re.compile(r"<!--.*?(?:-->|\Z)", re.DOTALL)
+_SCRIPT_RE = re.compile(
+    r"<(script|style)\b[^<>]*>.*?(?:</\1\s*>|\Z)", re.IGNORECASE | re.DOTALL
+)
+_TAG_RE = re.compile(r"<[/!A-Za-z][^<>]*>")
+_ANSI_RE = re.compile(r"\x1b\[[0-9;]*[A-Za-z]")
+
+_A_BOUND_RE = re.compile(r"<a\b[^<>]*>|</a\s*>", re.IGNORECASE)
+
+# layout-region markers treated as boilerplate lines (the PDF/layout parser
+# path for embedded documents carried by tool turns)
+# [HEADER]/[FOOTER]-marked lines are boilerplate wherever the marker leads
+# the line; [PAGE n] markers must stand alone
+_BOILER_LINE_RE = re.compile(
+    r"^\s*(\[(HEADER|FOOTER)\]|\[PAGE\s+\d+\]\s*$|={3,}\s*PAGE\s+\d+\s*={3,}\s*$)",
+    re.IGNORECASE,
+)
+
+_NL = 10  # ord("\n")
+
+
+def codepoints(text: str) -> np.ndarray:
+    """Text → uint32 codepoint array (zero-copy-ish via UTF-32)."""
+    if not text:
+        return np.empty(0, dtype=np.uint32)
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+
+
+def markup_mask(text: str) -> np.ndarray:
+    """Boolean mask of characters that belong to markup: HTML comments,
+    <script>/<style> blocks, tags, ANSI escape sequences.
+
+    Analog of the zero-probability background pixels in the reference's
+    probability map (det.rs:339-346): markup never contributes to a
+    detected region.
+    """
+    mask = np.zeros(len(text), dtype=bool)
+    for rx in (_COMMENT_RE, _SCRIPT_RE, _TAG_RE, _ANSI_RE):
+        for m in rx.finditer(text):
+            mask[m.start() : m.end()] = True
+    return mask
+
+
+def anchor_mask(text: str) -> np.ndarray:
+    """Boolean mask of characters inside <a>…</a> (the link-density
+    numerator). Nested/unbalanced anchors handled with a depth counter;
+    an unclosed <a> extends to end of text."""
+    mask = np.zeros(len(text), dtype=bool)
+    depth = 0
+    pos = 0
+    for m in _A_BOUND_RE.finditer(text):
+        if depth > 0:
+            mask[pos : m.start()] = True
+        if m.group(0)[1] == "/":
+            depth = max(0, depth - 1)
+        else:
+            depth += 1
+        pos = m.end()
+    if depth > 0:
+        mask[pos:] = True
+    return mask
+
+
+def is_boiler_line(line: str) -> bool:
+    return _BOILER_LINE_RE.match(line) is not None
+
+
+# --- character classification (vectorized over codepoints) ---------------
+
+_PUNCT_CODES = np.array(sorted(ord(c) for c in PUNCTUATIONS), dtype=np.uint32)
+
+# inclusive codepoint ranges scored as "word" characters (letters, digits,
+# CJK, kana, hangul, fullwidth alnum). Deliberately range-based (no
+# unicodedata) so the classification is trivially vectorizable and
+# identical everywhere.
+_WORD_RANGES = np.array(
+    [
+        (0x30, 0x39), (0x41, 0x5A), (0x61, 0x7A),          # ASCII alnum
+        (0xC0, 0xD6), (0xD8, 0xF6), (0xF8, 0x17F),         # Latin-1/Ext-A
+        (0x370, 0x3FF), (0x400, 0x4FF),                    # Greek, Cyrillic
+        (0x3040, 0x30FF),                                  # kana
+        (0x3400, 0x4DBF), (0x4E00, 0x9FFF),                # CJK
+        (0xAC00, 0xD7AF),                                  # hangul
+        (0xFF10, 0xFF19), (0xFF21, 0xFF3A), (0xFF41, 0xFF5A),  # fullwidth
+    ],
+    dtype=np.uint32,
+)
+
+
+def word_char_mask(cp: np.ndarray) -> np.ndarray:
+    m = np.zeros(cp.shape, dtype=bool)
+    for lo, hi in _WORD_RANGES:
+        m |= (cp >= lo) & (cp <= hi)
+    return m
+
+
+def punct_mask(cp: np.ndarray) -> np.ndarray:
+    return np.isin(cp, _PUNCT_CODES)
+
+
+def is_punct_char(ch: str) -> bool:
+    return ch in PUNCTUATIONS
+
+
+def char_scores(text: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The deterministic "recognition model" (analog of Rec::run_model's
+    argmax+score pass, rec.rs:341-357): per character, a confidence in
+    [0,1] plus a blank mask.
+
+    Returns ``(cp, scores, blank)`` where blank characters act like CTC
+    index 0 (reset ``last_char``, emit nothing).
+    """
+    cp = codepoints(text)
+    n = len(cp)
+    scores = np.full(n, SCORE_OTHER, dtype=np.float32)
+    if n == 0:
+        return cp, scores, np.zeros(0, dtype=bool)
+
+    mk = markup_mask(text)
+    word = word_char_mask(cp)
+    punct = punct_mask(cp)
+    nl = cp == _NL
+    space = cp == 0x20
+    ctrl = (cp < 0x20) & ~nl  # control chars (tab already folded to space)
+
+    scores[word | space | nl] = SCORE_WORD
+    scores[punct] = SCORE_PUNCT
+    # punctuation adjacent to a markup span → borderline confidence
+    # (exercises the rec.rs:373-377 branch: kept, last_char untouched)
+    adj = np.zeros(n, dtype=bool)
+    adj[:-1] |= mk[1:]
+    adj[1:] |= mk[:-1]
+    scores[punct & adj & ~mk] = SCORE_EDGE_PUNCT
+    scores[mk] = SCORE_MARKUP
+    blank = ctrl & ~mk
+    return cp, scores, blank

@@ -1,0 +1,198 @@
+"""Operator-level unit tests for the detection stage (SURVEY.md §2.2:
+D1-D10). Constants and edge-case semantics are pinned to the reference:
+THRESHOLD=200, MIN_BOX_SIZE=5 (exclusive), border expansion with +1
+width/height, transitive merge with re-queue."""
+
+import numpy as np
+import pytest
+
+from sparkocr.config import (
+    DEFAULT_CONFIG,
+    EngineConfig,
+    GLYPH_BOTTOM,
+    GLYPH_TOP,
+    LINE_HEIGHT,
+)
+from sparkocr.detect import (
+    Box,
+    TurnGrid,
+    boxes_overlap_with_threshold,
+    crop_box,
+    find_text_boxes,
+    line_scores,
+    merge_boxes,
+    merge_overlapping_boxes,
+)
+
+NOMERGE = EngineConfig(rect_border_size=0, merge_boxes=False)
+
+
+def boxes(text, cfg=NOMERGE):
+    return find_text_boxes(TurnGrid(text), cfg)
+
+
+# --- D3: line scoring ----------------------------------------------------
+
+def test_pure_text_line_scores_255():
+    g = TurnGrid("hello world this is content")
+    assert line_scores(g).tolist() == [255]
+
+
+def test_nav_line_scores_zero_via_link_density():
+    g = TurnGrid('<a href="/x">Home</a> <a href="/y">Docs</a>')
+    # all visible text is anchor text → link_density 1 → score 0
+    assert line_scores(g).tolist() == [0]
+
+
+def test_markup_heavy_line_below_threshold():
+    # text_density = 5 / (5 + 0.25*24) = 0.4545… → score 115 ≤ 200
+    g = TurnGrid("<div class='verylongclass'>hello</div>"[:])
+    s = line_scores(g)
+    assert s[0] <= 200
+
+
+def test_inline_tag_keeps_prose_line_on():
+    # one small tag must not sink a prose line (MARKUP_WEIGHT=0.25)
+    g = TurnGrid("The quick <b>brown</b> fox jumps over the lazy dog again")
+    assert line_scores(g)[0] > 200
+
+
+def test_boilerplate_markers_score_zero():
+    for ln in ("[HEADER] Confidential", "[FOOTER] page 1", "[PAGE 3]",
+               "=== PAGE 2 ==="):
+        assert line_scores(TurnGrid(ln)).tolist() == [0], ln
+
+
+# --- D4/D5: runs + min-size filter --------------------------------------
+
+def test_min_box_size_filter_boundary():
+    # width = len-1 must be > 5 → 6-char run dropped, 7-char run kept
+    assert boxes("abcdef") == []
+    bs = boxes("abcdefg")
+    assert len(bs) == 1
+    assert (bs[0].left, bs[0].width) == (0, 7)
+
+
+def test_empty_and_whitespace_only():
+    assert boxes("") == []
+    assert boxes("   \n  \t ") == []
+    assert boxes("<div><span></span></div>") == []
+
+
+def test_runs_split_at_markup():
+    bs = boxes("leftcontent<br>rightcontent")
+    assert len(bs) == 2
+    assert (bs[0].left, bs[0].width) == (0, 11)
+    assert (bs[1].left, bs[1].width) == (15, 12)
+
+
+def test_run_trims_whitespace_but_bridges_words():
+    bs = boxes("  hello brave world  ")
+    assert len(bs) == 1
+    assert (bs[0].left, bs[0].width) == (2, 17)  # "hello brave world"
+
+
+# --- D6: border expansion ------------------------------------------------
+
+def test_border_expansion_clamped_to_segment_and_grid():
+    cfg = EngineConfig(rect_border_size=12, merge_boxes=False)
+    bs = find_text_boxes(TurnGrid("  hello brave world  "), cfg)
+    assert len(bs) == 1
+    b = bs[0]
+    # x: run [2,18] grows by 12 but clamps at segment bounds [0,20]
+    assert (b.left, b.right) == (0, 20)
+    # y: glyph band [16,31] grows by 12 within the line band
+    assert (b.top, b.bottom) == (GLYPH_TOP - 12, GLYPH_BOTTOM + 12)
+    # +1 semantics (det.rs:375-376)
+    assert b.width == 21 and b.height == 40
+
+
+def test_border_does_not_cross_markup():
+    cfg = EngineConfig(rect_border_size=12, merge_boxes=False)
+    bs = find_text_boxes(TurnGrid("abcdefgh<b>ijklmnopq</b>"), cfg)
+    assert len(bs) == 2
+    assert (bs[0].left, bs[0].right) == (0, 7)       # clamped at <b>
+    assert (bs[1].left, bs[1].right) == (11, 19)     # clamped at tags
+
+
+# --- D8/D9/D10: merge ----------------------------------------------------
+
+def _b(left, top, right, bottom):
+    return Box(left, top, right - left + 1, bottom - top + 1)
+
+
+def test_overlap_predicate_horizontal_threshold():
+    # both boxes expand by t, so threshold 1 bridges gaps up to 2 columns
+    a = _b(0, 0, 10, 15)
+    b = _b(12, 0, 20, 15)   # gap of 1 col (11) → bridged
+    assert boxes_overlap_with_threshold(a, b, 1)
+    c = _b(13, 0, 20, 15)   # gap of 2 cols (11,12): 11 < 12 → not bridged
+    assert not boxes_overlap_with_threshold(a, c, 1)
+
+
+def test_overlap_predicate_vertical_closeness():
+    # heights 16 → vt = int(16*0.4) = 6
+    a = _b(0, 0, 20, 15)
+    assert boxes_overlap_with_threshold(a, _b(0, 21, 20, 36), 1)   # 15+6 >= 21
+    assert not boxes_overlap_with_threshold(a, _b(0, 22, 20, 37), 1)
+
+
+def test_merge_boxes_union():
+    m = merge_boxes(_b(5, 0, 10, 15), _b(0, 10, 7, 30))
+    assert (m.left, m.top, m.right, m.bottom) == (0, 0, 10, 30)
+
+
+def test_transitive_merge_chain():
+    # A overlaps B, merged AB then overlaps C (det.rs:413-416 re-queue)
+    a = _b(0, 0, 10, 15)
+    b = _b(9, 12, 30, 27)
+    c = _b(28, 24, 40, 39)
+    out = merge_overlapping_boxes([a, b, c], 1)
+    assert len(out) == 1
+    m = out[0]
+    assert (m.left, m.top, m.right, m.bottom) == (0, 0, 40, 39)
+
+
+def test_merge_keeps_disjoint_boxes_in_order():
+    a = _b(0, 0, 10, 15)
+    z = _b(0, 200, 10, 215)
+    assert merge_overlapping_boxes([a, z], 1) == [a, z]
+
+
+def test_adjacent_lines_merge_into_paragraph():
+    cfg = EngineConfig(rect_border_size=10, merge_boxes=True, merge_threshold=1)
+    bs = find_text_boxes(TurnGrid("first line of paragraph\nsecond line here"), cfg)
+    assert len(bs) == 1
+    # blank line breaks the paragraph
+    bs2 = find_text_boxes(
+        TurnGrid("first line of paragraph\n\nsecond paragraph here"), cfg
+    )
+    assert len(bs2) == 2
+
+
+# --- C1: crop ------------------------------------------------------------
+
+def test_crop_single_line_span_offsets():
+    g = TurnGrid("  hello brave world  ")
+    bs = find_text_boxes(g, NOMERGE)
+    crop, start, end = crop_box(g, bs[0])
+    assert crop == "hello brave world"
+    assert (start, end) == (2, 19)
+    assert g.text[start:end] == "hello brave world"
+
+
+def test_crop_multiline_blanks_markup():
+    cfg = EngineConfig(rect_border_size=10, merge_boxes=True, merge_threshold=1)
+    g = TurnGrid("alpha beta gamma delta\nepsilon <b>zeta</b> etaeta")
+    bs = find_text_boxes(g, cfg)
+    assert len(bs) == 1
+    crop, start, end = crop_box(g, bs[0])
+    # markup chars inside the crop window blanked to spaces
+    assert "<b>" not in crop and "zeta" in crop
+    assert crop.split("\n")[0].strip() == "alpha beta gamma delta"
+
+
+def test_crop_formfeed_and_cr_are_line_breaks():
+    g = TurnGrid("pagecontent one\fpagecontent two")
+    assert len(g.lines) == 2
+    assert g.text[15] == "\n"
