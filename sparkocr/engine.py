@@ -1,0 +1,313 @@
+"""The Spark engine: the reference's 7 public verbs (OcrRequest enum,
+engine.rs:16-90) as DataFrame-returning functions.
+
+| reference request       | verb here                | shape |
+|-------------------------|--------------------------|-------|
+| GetTextRects            | ``spans(df)``            | + array<box struct> |
+| DetectText/GetTextImages| ``blocks(df)``           | + array<string> crops |
+| GetTextImagesEfficient  | ``blocks_fast(df)``      | same plan — AQE/Catalyst replaces the reference's cardinality-based crop-strategy dispatch (det.rs:167-171), intentionally not reimplemented |
+| RecognizeText           | ``recognize(df, col)``   | + struct(text, confidence, block_type) |
+| ProcessOcr              | ``extract(df)``          | full fused pipeline |
+| ProcessOcrEfficient     | ``extract_fast(df)``     | same plan (see above) |
+| Shutdown                | ``spark.stop()``         | session-managed |
+
+Execution model: all per-turn compute runs inside Arrow-batched pandas
+UDFs / mapInPandas (zero per-row Python UDFs); the fused ``extract`` is a
+single narrow mapInPandas stage — one job over the whole table with NO
+shuffle, the columnar replacement for the reference's one-request-per-
+image worker loop (engine.rs:413-437). Ordering is never implicit: use
+``ordered()`` / ``with_rank()`` before any order-sensitive sink
+(Catalyst does not preserve order through exchanges)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .config import DEFAULT_CONFIG, FLAGSHIP_CONFIG, EngineConfig
+from .detect import TurnGrid, crop_box, find_text_boxes
+from .pipeline import extract_turn
+from .recognize import canonicalize, classify_block, decode
+from .textgrid import char_scores
+
+# ---------------------------------------------------------------------------
+# schemas
+
+BOX_FIELDS = [
+    StructField("left", IntegerType()),
+    StructField("top", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("start", LongType()),
+    StructField("end", LongType()),
+]
+BOX_STRUCT = StructType(BOX_FIELDS)
+
+BLOCK_STRUCT = StructType(
+    [
+        StructField("pos", IntegerType()),
+        StructField("text", StringType()),
+        StructField("confidence", FloatType()),
+        StructField("block_type", StringType()),
+    ]
+    + BOX_FIELDS
+)
+
+RECOGNIZED_STRUCT = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("confidence", FloatType()),
+        StructField("block_type", StringType()),
+    ]
+)
+
+EXTRACT_RESULT_FIELDS = [
+    StructField("n_blocks", IntegerType()),
+    StructField("blocks", ArrayType(BLOCK_STRUCT)),
+    StructField("full_text", StringType()),
+    StructField("error_code", StringType()),
+    StructField("error_msg", StringType()),
+]
+
+
+def _clean_text(v) -> Optional[str]:
+    if v is None:
+        return None
+    if isinstance(v, float):  # NaN from pandas
+        return None
+    return v
+
+
+# ---------------------------------------------------------------------------
+# engine
+
+class SparkOcrEngine:
+    """Configured engine bound to a SparkSession (the OcrEngine analog;
+    multiple differently-configured engines may coexist — the FFI handle
+    registry analog, capi.rs:73-126)."""
+
+    def __init__(self, spark: SparkSession, config: EngineConfig = FLAGSHIP_CONFIG):
+        self.spark = spark
+        self.config = config
+
+    # -- P1: fused pipeline ------------------------------------------------
+
+    def extract(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        passthrough: tuple = ("conv_id", "turn_idx", "role"),
+        repartition: int | None = None,
+    ) -> DataFrame:
+        """ProcessOcr over the whole table: one narrow mapInPandas stage.
+
+        ``passthrough`` columns are carried alongside the results;
+        ``repartition`` optionally rebalances input rows first (hash of
+        the row key — NOT conv_id alone, so whale conversations spread
+        across tasks; the salting story for the map stage)."""
+        cfg = self.config
+        keep = [c for c in passthrough if c in df.columns]
+        src = df.select(*keep, F.col(text_col).alias("__text__"))
+        if repartition:
+            src = src.repartition(repartition)
+
+        out_schema = StructType(
+            [df.schema[c] for c in keep] + EXTRACT_RESULT_FIELDS
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                n = len(pdf)
+                blocks_col, ftext_col = [], []
+                nb_col = np.zeros(n, dtype=np.int32)
+                ec_col, em_col = [None] * n, [None] * n
+                texts = pdf["__text__"].to_numpy(dtype=object)
+                for i in range(n):
+                    r = extract_turn(_clean_text(texts[i]), cfg)
+                    blocks_col.append([b.__dict__ for b in r.blocks])
+                    ftext_col.append(r.full_text)
+                    nb_col[i] = len(r.blocks)
+                    ec_col[i] = r.error_code
+                    em_col[i] = r.error_msg
+                out = pdf[keep].copy()
+                out["n_blocks"] = nb_col
+                out["blocks"] = blocks_col
+                out["full_text"] = ftext_col
+                out["error_code"] = ec_col
+                out["error_msg"] = em_col
+                yield out
+
+        return src.mapInPandas(run, out_schema)
+
+    def extract_fast(self, df: DataFrame, **kw) -> DataFrame:
+        """ProcessOcrEfficient parity alias: the reference's efficient
+        variant picks crop strategies by cardinality (engine.rs:532-556);
+        Catalyst/AQE already does runtime strategy selection, so the plan
+        is identical here."""
+        return self.extract(df, **kw)
+
+    # -- stage-level verbs ---------------------------------------------------
+
+    def spans(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        """GetTextRects: adds a ``boxes`` array<struct> column (detection
+        only). Box order = detection order; ``posexplode`` the column to
+        get (pos, box) rows."""
+        cfg = self.config
+
+        @F.pandas_udf(ArrayType(BOX_STRUCT))
+        def detect_udf(s: pd.Series) -> pd.Series:
+            out = []
+            for text in s:
+                text = _clean_text(text)
+                if text is None:
+                    out.append([])
+                    continue
+                grid = TurnGrid(text)
+                rows = []
+                for b in find_text_boxes(grid, cfg):
+                    _, start, end = crop_box(grid, b)
+                    rows.append(
+                        {"left": b.left, "top": b.top, "width": b.width,
+                         "height": b.height, "start": start, "end": end}
+                    )
+                out.append(rows)
+            return pd.Series(out)
+
+        return df.withColumn("boxes", detect_udf(F.col(text_col)))
+
+    def blocks(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        """DetectText / GetTextImages: adds a ``crops`` array<string>
+        column — the cropped (markup-blanked) block texts, detection
+        order."""
+        cfg = self.config
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def crops_udf(s: pd.Series) -> pd.Series:
+            out = []
+            for text in s:
+                text = _clean_text(text)
+                if text is None:
+                    out.append([])
+                    continue
+                grid = TurnGrid(text)
+                out.append(
+                    [crop_box(grid, b)[0] for b in find_text_boxes(grid, cfg)]
+                )
+            return pd.Series(out)
+
+        return df.withColumn("crops", crops_udf(F.col(text_col)))
+
+    def blocks_fast(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        """GetTextImagesEfficient parity alias (see extract_fast)."""
+        return self.blocks(df, text_col)
+
+    def recognize(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        """RecognizeText: decode an arbitrary text column (one block per
+        row — the standalone Rec path, examples/simple.rs:74-89). Adds a
+        ``recognized`` struct(text, confidence, block_type) column."""
+        cfg = self.config
+
+        @F.pandas_udf(RECOGNIZED_STRUCT)
+        def rec_udf(s: pd.Series) -> pd.DataFrame:
+            texts, confs, btypes = [], [], []
+            for text in s:
+                text = _clean_text(text)
+                if text is None:
+                    texts.append(None)
+                    confs.append(None)
+                    btypes.append(None)
+                    continue
+                canon = canonicalize(text, cfg.max_rec_lines)
+                cp, scores, blank = char_scores(canon)
+                d_cp, d_sc = decode(cp, scores, blank, cfg)
+                texts.append(d_cp.tobytes().decode("utf-32-le"))
+                confs.append(
+                    float(np.float32(d_sc.sum(dtype=np.float32))
+                          / np.float32(len(d_sc)))
+                    if len(d_sc) else 0.0
+                )
+                btypes.append(classify_block(canon))
+            return pd.DataFrame(
+                {"text": texts, "confidence": confs, "block_type": btypes}
+            )
+
+        return df.withColumn("recognized", rec_udf(F.col(text_col)))
+
+    def detect(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        """Alias of spans() — the lib.rs 'advanced users' low-level path."""
+        return self.spans(df, text_col)
+
+
+# ---------------------------------------------------------------------------
+# ordering / reassembly helpers (the north-rule stable-order guarantee)
+
+def with_rank(df: DataFrame, conv_col: str = "conv_id",
+              turn_col: str = "turn_idx") -> DataFrame:
+    """Window-ranked stable ordering: row_number over (conv_id, turn_idx)
+    — the ordering invariant every comparison and ordered sink uses
+    (the index-restoring reassembly analog, efficient_cropping.rs:186-202)."""
+    w = Window.orderBy(conv_col, turn_col)
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+def ordered(df: DataFrame, conv_col: str = "conv_id",
+            turn_col: str = "turn_idx", partitions: int | None = None) -> DataFrame:
+    """Range-partition + in-partition sort by (conv_id, turn_idx):
+    deterministic global order for sinks WITHOUT a single-reducer
+    bottleneck. Range partitioning splits whale conversations across
+    tasks on turn_idx — the skew answer for ordered writes."""
+    parts = [F.col(conv_col), F.col(turn_col)]
+    rp = df.repartitionByRange(partitions, *parts) if partitions else df.repartitionByRange(*parts)
+    return rp.sortWithinPartitions(*parts)
+
+
+def explode_blocks(result: DataFrame) -> DataFrame:
+    """posexplode the blocks array into one row per block, preserving
+    intra-turn detection order via the block's own ``pos`` (the P2
+    positional-join analog: (conv_id, turn_idx, pos) is the stable key)."""
+    keep = [c for c in result.columns if c not in ("blocks",)]
+    return (
+        result.select(*keep, F.explode("blocks").alias("block"))
+        .select(*keep, "block.*")
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine manager (P5 parity: OcrEngineManager, engine.rs:615-835)
+
+_INSTANCE: SparkOcrEngine | None = None
+
+
+def initialize(spark: SparkSession | None = None,
+               config: EngineConfig = FLAGSHIP_CONFIG) -> SparkOcrEngine:
+    """Initialize the module-level engine singleton."""
+    global _INSTANCE
+    if spark is None:
+        from .session import get_spark
+
+        spark = get_spark()
+    _INSTANCE = SparkOcrEngine(spark, config)
+    return _INSTANCE
+
+
+def get_instance() -> SparkOcrEngine:
+    if _INSTANCE is None:
+        raise RuntimeError(
+            "engine not initialized — call sparkocr.engine.initialize() "
+            "(EngineError analog, error.rs:47-50)"
+        )
+    return _INSTANCE

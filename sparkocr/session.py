@@ -1,0 +1,52 @@
+"""SparkSession factory with the engine's recommended configuration.
+
+The session IS the engine singleton (the analog of OcrEngineManager,
+engine.rs:615-835 — ``SparkSession.builder.getOrCreate()`` already
+provides once-per-process semantics)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for correctness-at-scale first:
+# - Arrow transfer on (the channel between JVM and the Python "worker
+#   thread" that owns the models, O5 analog)
+# - bounded Arrow batches: turns can be multi-KB, keep batches ~2k rows
+#   (the rayon par_chunks(1024) analog, O6 — det.rs:205)
+# - AQE + skew handling on (O7/O8 strategy-by-cardinality analogs)
+_ENGINE_CONF = {
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    cores: int | str | None = None,
+    app_name: str = "sparkocr",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or get) the engine's SparkSession.
+
+    ``cores``: int → ``local[n]``; "*" → ``local[*]``; None → respect
+    $SPARK_GRAFT_CPUS, default ``local[*]``.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cores == "*" else max(int(cores) * 2, 8)
+    b = SparkSession.builder.master(master).appName(app_name)
+    for k, v in _ENGINE_CONF.items():
+        b = b.config(k, v)
+    b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, str(v))
+    return b.getOrCreate()

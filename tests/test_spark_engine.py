@@ -1,0 +1,142 @@
+"""Spark engine ≡ oracle equality (the correctness gate of the north
+rule): the fused mapInPandas pipeline must reproduce the single-node
+oracle byte-for-byte under window-ranked (conv_id, turn_idx) ordering,
+at any parallelism."""
+
+import json
+import os
+
+import pytest
+
+from sparkocr.config import FLAGSHIP_CONFIG
+from sparkocr.engine import (
+    SparkOcrEngine,
+    explode_blocks,
+    ordered,
+    with_rank,
+)
+from sparkocr.fixtures import generate_turns, turns_pandas
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDEN = os.path.join(HERE, "fixtures", "golden_extract.json")
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    # deterministically shuffled on-disk order: ordering must be recovered
+    return spark.createDataFrame(turns_pandas(seed=42, n_convs=12, mean_turns=10))
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return SparkOcrEngine(spark, FLAGSHIP_CONFIG)
+
+
+@pytest.fixture(scope="module")
+def extracted(engine, corpus_df):
+    out = engine.extract(corpus_df, repartition=7)  # odd partitioning on purpose
+    return (
+        ordered(out)
+        .select("conv_id", "turn_idx", "n_blocks", "blocks", "full_text",
+                "error_code")
+        .collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def golden_rows():
+    with open(GOLDEN, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def test_extract_matches_goldens_bytewise(extracted, golden_rows):
+    assert len(extracted) == len(golden_rows)
+    for got, exp in zip(extracted, golden_rows):
+        assert got.conv_id == exp["conv_id"]
+        assert got.turn_idx == exp["turn_idx"]
+        assert got.full_text == exp["full_text"], (got.conv_id, got.turn_idx)
+        assert got.n_blocks == exp["n_blocks"]
+        assert got.error_code == exp["error_code"]
+        for gb, eb in zip(got.blocks, exp["blocks"]):
+            assert gb.pos == eb["pos"]
+            assert gb.text == eb["text"]
+            assert gb.block_type == eb["block_type"]
+            assert (gb.left, gb.top, gb.width, gb.height) == (
+                eb["left"], eb["top"], eb["width"], eb["height"])
+            assert (gb.start, gb.end) == (eb["start"], eb["end"])
+            assert abs(gb.confidence - eb["confidence"]) < 1e-6
+
+
+def test_extract_parallelism_invariance(engine, corpus_df, extracted):
+    """Same input at a different partitioning → identical bytes (the
+    N-vs-4N equality half of the scaling requirement)."""
+    again = (
+        ordered(engine.extract(corpus_df, repartition=2))
+        .select("conv_id", "turn_idx", "full_text")
+        .collect()
+    )
+    assert [(r.conv_id, r.turn_idx, r.full_text) for r in again] == [
+        (r.conv_id, r.turn_idx, r.full_text) for r in extracted
+    ]
+
+
+def test_extract_plan_is_single_narrow_stage(engine, corpus_df):
+    """The fused pipeline must not shuffle: ArrowEvalPython/mapInPandas
+    directly over the scan."""
+    plan = engine.extract(corpus_df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_spans_and_blocks_verbs(engine, spark):
+    df = spark.createDataFrame(
+        [("c1", 0, "  hello brave world  "), ("c1", 1, "<div><span></span></div>")],
+        "conv_id string, turn_idx int, text string",
+    )
+    eng = SparkOcrEngine(spark)  # flagship config
+    rows = (
+        eng.spans(df).orderBy("turn_idx").select("turn_idx", "boxes").collect()
+    )
+    assert len(rows[0].boxes) == 1 and rows[0].boxes[0].start == 0
+    assert rows[1].boxes == []
+    crows = eng.blocks(df).orderBy("turn_idx").collect()
+    assert crows[0].crops == ["  hello brave world  "]
+    assert crows[1].crops == []
+
+
+def test_recognize_verb(engine, spark):
+    df = spark.createDataFrame(
+        [("wait!!! what???",), ("<b>xy</b>",), (None,)], "text string"
+    )
+    rows = engine.recognize(df).select("recognized.*").collect()
+    got = {(r.text, r.block_type) for r in rows}
+    assert ("wait! what?", "prose") in got
+    assert ("xy", "prose") in got
+    assert (None, None) in got
+
+
+def test_explode_blocks_positional_key(engine, spark):
+    df = spark.createDataFrame(turns_pandas(seed=9, n_convs=4, mean_turns=6))
+    out = engine.extract(df)
+    flat = explode_blocks(out.select("conv_id", "turn_idx", "blocks"))
+    rows = flat.orderBy("conv_id", "turn_idx", "pos").collect()
+    # pos is dense 0..n-1 within each turn
+    seen = {}
+    for r in rows:
+        k = (r.conv_id, r.turn_idx)
+        assert r.pos == seen.get(k, 0)
+        seen[k] = r.pos + 1
+
+
+def test_with_rank_dense_global_order(engine, corpus_df):
+    ranked = with_rank(corpus_df.select("conv_id", "turn_idx")).collect()
+    assert [r.rank for r in ranked] == list(range(1, len(ranked) + 1))
+    keys = [(r.conv_id, r.turn_idx) for r in ranked]
+    assert keys == sorted(keys)
+
+
+def test_null_text_yields_error_row(engine, spark):
+    df = spark.createDataFrame(
+        [("c", 0, None)], "conv_id string, turn_idx int, text string"
+    )
+    r = engine.extract(df).collect()[0]
+    assert r.error_code == "InputError" and r.n_blocks == 0
