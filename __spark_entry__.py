@@ -1,38 +1,441 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``      — flagship extraction over sf0.001 documents.
+``queries()``         — one DataFrame callable per implemented operator
+                        (SURVEY.md §2 + training-data ops).
+``oracle_sql()``      — DuckDB-equivalent ANSI SQL per SQL-expressible
+                        query (same column names/aliases both sides;
+                        float aggregates rounded identically).
+
+Extraction-pipeline queries have no SQL equivalent (the detect→recognize
+cascade is not SQL-expressible) — their correctness gate is the golden
+fixture suite in tests/ (byte equality vs the committed oracle output);
+here the driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _as_transcripts(docs: DataFrame) -> DataFrame:
+    """documents → the transcript input shape (one doc = one turn; convs
+    keyed by source)."""
+    return docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full detect→recognize extraction over sf0.001, ordered
+    output with per-turn blocks + full_text."""
+    from sparkocr.engine import SparkOcrEngine, ordered
 
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    eng = SparkOcrEngine(spark)
+    out = eng.extract(_as_transcripts(docs))
+    return ordered(out).select(
+        "conv_id", "turn_idx", "n_blocks", "full_text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from sparkocr.analysis import (
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash64,
+        with_fingerprint,
+        with_lang_id,
+        with_quality,
+        with_token_count,
+    )
+    from sparkocr.ann import cosine_topk, lsh_topk
+    from sparkocr.engine import SparkOcrEngine, explode_blocks, ordered
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- relational operators (SQL-oracle-checked) --------------------------
+
+    def q_window_rank_events(spark, sf):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            _t(spark, sf, "events")
+            .select("user_id", "event_id",
+                    F.row_number().over(w).cast("long").alias("rnk"))
+        )
+
+    def q_lag_delta_events(spark, sf):
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            _t(spark, sf, "events")
+            .select(
+                "user_id", "event_id",
+                F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+            )
+        )
+
+    def q_minmax_bbox_lineitem(spark, sf):
+        return (
+            _t(spark, sf, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(
+                F.min("l_quantity").alias("q_min"),
+                F.max("l_quantity").alias("q_max"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    def q_avg_qty_lineitem(spark, sf):
+        return (
+            _t(spark, sf, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.round(F.avg("l_quantity"), 6).alias("avg_qty"))
+        )
+
+    def q_size_filter_part(spark, sf):
+        return (
+            _t(spark, sf, "part")
+            .where(F.col("p_size") > 5)
+            .select("p_partkey", "p_size")
+        )
+
+    def q_clamp_part(spark, sf):
+        return _t(spark, sf, "part").select(
+            "p_partkey",
+            F.greatest(F.least(F.col("p_size") + 10, F.lit(50)), F.lit(0)).alias("clamped"),
+        )
+
+    def q_interval_merge_events(spark, sf):
+        _t(spark, sf, "events").createOrReplaceTempView("events")
+        return spark.sql(_INTERVAL_MERGE_SQL)
+
+    def q_topk_documents(spark, sf):
+        return (
+            _t(spark, sf, "documents")
+            .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+            .select("doc_id", "n_chars")
+            .limit(20)
+        )
+
+    def q_posexplode_documents(spark, sf):
+        return (
+            _t(spark, sf, "documents")
+            .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+            .select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+        )
+
+    def q_bigram_zip_join_documents(spark, sf):
+        # P2 positional-join analog: tokens joined to their successors on
+        # the synthetic (doc_id, pos) key
+        toks = (
+            _t(spark, sf, "documents")
+            .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        )
+        a, b = toks.alias("a"), toks.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("a.pos") + 1 == F.col("b.pos")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("a.pos").cast("long").alias("pos"),
+                F.col("a.tok").alias("tok"),
+                F.col("b.tok").alias("tok_next"),
+            )
+        )
+
+    def q_events_type_stats(spark, sf):
+        return (
+            _t(spark, sf, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.min("value"), 4).alias("v_min"),
+                F.round(F.max("value"), 4).alias("v_max"),
+            )
+        )
+
+    # -- training-data ops (SQL-oracle-checked) ------------------------------
+
+    def q_token_count_documents(spark, sf):
+        return (
+            with_token_count(_t(spark, sf, "documents"))
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        )
+
+    def q_quality_documents(spark, sf):
+        return with_quality(_t(spark, sf, "documents")).select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_stop").cast("long").alias("n_stop"),
+            F.col("n_punct").cast("long").alias("n_punct"),
+            "stop_ratio",
+        )
+
+    def q_lang_id_documents(spark, sf):
+        return with_lang_id(_t(spark, sf, "documents")).select("doc_id", "lang_guess")
+
+    def q_fingerprint_documents(spark, sf):
+        return with_fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
+
+    def q_exact_dedup_documents(spark, sf):
+        docs = _t(spark, sf, "documents")
+        dup = docs.orderBy("doc_id").limit(50).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+        return exact_dedup_groups(docs.unionByName(dup), "doc_id").select(
+            "fingerprint", "n_dups", "keeper"
+        )
+
+    def q_jaccard_pairs_documents(spark, sf):
+        return ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), "doc_id", n=2, threshold=0.2
+        )
+
+    def q_ann_cosine_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+        return cosine_topk(emb, list(qv), k=10)
+
+    # -- extraction pipeline (rows-only: correctness gate = golden tests) ----
+
+    def q_extract_documents(spark, sf):
+        eng = SparkOcrEngine(spark)
+        out = eng.extract(_as_transcripts(_t(spark, sf, "documents")))
+        return ordered(out).select("conv_id", "turn_idx", "n_blocks", "full_text")
+
+    def q_extract_blocks_flat(spark, sf):
+        eng = SparkOcrEngine(spark)
+        out = eng.extract(_as_transcripts(_t(spark, sf, "documents")))
+        return ordered(
+            explode_blocks(out.select("conv_id", "turn_idx", "blocks"))
+        ).select("conv_id", "turn_idx", "pos", "text", "block_type", "start", "end")
+
+    def q_extract_quality_metrics(spark, sf):
+        # per-conversation extraction-quality metrics (the checkpoint
+        # manifest metrics): blocks/turn, empty rate, avg confidence
+        eng = SparkOcrEngine(spark)
+        out = eng.extract(_as_transcripts(_t(spark, sf, "documents")))
+        return (
+            out.groupBy("conv_id")
+            .agg(
+                F.count("*").alias("n_turns"),
+                F.sum("n_blocks").alias("n_blocks"),
+                F.round(F.avg(F.when(F.col("n_blocks") == 0, 1.0).otherwise(0.0)), 4)
+                .alias("empty_rate"),
+            )
+        )
+
+    def q_spans_documents(spark, sf):
+        eng = SparkOcrEngine(spark)
+        out = eng.spans(_as_transcripts(_t(spark, sf, "documents")))
+        return (
+            out.select("conv_id", "turn_idx", F.posexplode("boxes").alias("pos", "box"))
+            .select("conv_id", "turn_idx", "pos", "box.*")
+        )
+
+    def q_minhash_lsh_pairs_documents(spark, sf):
+        return minhash_lsh_pairs(_t(spark, sf, "documents"), "doc_id", n_shingle=2)
+
+    def q_simhash_documents(spark, sf):
+        return simhash64(_t(spark, sf, "documents"), "doc_id").select("doc_id", "simhash")
+
+    def q_lsh_topk_embeddings(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+        return lsh_topk(emb, list(qv), dim=len(qv), k=10)
+
+    return {
+        "window_rank_events": q_window_rank_events,
+        "lag_delta_events": q_lag_delta_events,
+        "minmax_bbox_lineitem": q_minmax_bbox_lineitem,
+        "avg_qty_lineitem": q_avg_qty_lineitem,
+        "size_filter_part": q_size_filter_part,
+        "clamp_part": q_clamp_part,
+        "interval_merge_events": q_interval_merge_events,
+        "topk_documents": q_topk_documents,
+        "posexplode_documents": q_posexplode_documents,
+        "bigram_zip_join_documents": q_bigram_zip_join_documents,
+        "events_type_stats": q_events_type_stats,
+        "token_count_documents": q_token_count_documents,
+        "quality_documents": q_quality_documents,
+        "lang_id_documents": q_lang_id_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "exact_dedup_documents": q_exact_dedup_documents,
+        "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "extract_documents": q_extract_documents,
+        "extract_blocks_flat": q_extract_blocks_flat,
+        "extract_quality_metrics": q_extract_quality_metrics,
+        "spans_documents": q_spans_documents,
+        "minhash_lsh_pairs_documents": q_minhash_lsh_pairs_documents,
+        "simhash_documents": q_simhash_documents,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+    }
+
+
+_INTERVAL_MERGE_SQL = """
+WITH iv AS (
+  SELECT user_id, value AS s, value + 10 AS e FROM events
+), w AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+), g AS (
+  SELECT user_id,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS grp
+  FROM w
+)
+SELECT user_id, count(DISTINCT grp) AS n_merged FROM g GROUP BY user_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = "'the','and','of','to','a','in','is','it','that','for','on','with','as','at','by','an','be','this','are','or'"
+    return {
+        "window_rank_events": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk
+            FROM events
+        """,
+        "lag_delta_events": """
+            SELECT user_id, event_id,
+                   round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+            FROM events
+        """,
+        "minmax_bbox_lineitem": """
+            SELECT l_orderkey, min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "avg_qty_lineitem": """
+            SELECT l_orderkey, round(avg(l_quantity), 6) AS avg_qty
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "size_filter_part": """
+            SELECT p_partkey, p_size FROM part WHERE p_size > 5
+        """,
+        "clamp_part": """
+            SELECT p_partkey, greatest(least(p_size + 10, 50), 0) AS clamped FROM part
+        """,
+        "interval_merge_events": _INTERVAL_MERGE_SQL,
+        "topk_documents": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "posexplode_documents": """
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        """,
+        "bigram_zip_join_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            )
+            SELECT a.doc_id AS doc_id, a.pos AS pos, a.tok AS tok, b.tok AS tok_next
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
+        """,
+        "events_type_stats": """
+            SELECT event_type, count(*) AS n,
+                   round(min(value), 4) AS v_min, round(max(value), 4) AS v_max
+            FROM events GROUP BY event_type
+        """,
+        "token_count_documents": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        """,
+        "quality_documents": f"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN ({stop_list}))) AS n_stop,
+                   length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g')) AS n_punct,
+                   round(len(list_filter(string_split(text, ' '),
+                         x -> x IN ({stop_list}))) * 1.0
+                         / greatest(len(string_split(text, ' ')), 1), 4) AS stop_ratio
+            FROM documents
+        """,
+        "lang_id_documents": """
+            SELECT doc_id,
+                   CASE
+                     WHEN (length(text) - length(regexp_replace(text, '[^぀-ヿ]', '', 'g')))
+                          * 1.0 / greatest(length(text), 1) > 0.05 THEN 'ja'
+                     WHEN (length(text) - length(regexp_replace(text, '[^一-鿿]', '', 'g')))
+                          * 1.0 / greatest(length(text), 1) > 0.25 THEN 'zh'
+                     WHEN (length(text) - length(regexp_replace(text, '[^가-힯]', '', 'g')))
+                          * 1.0 / greatest(length(text), 1) > 0.25 THEN 'ko'
+                     WHEN (length(text) - length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')))
+                          * 1.0 / greatest(length(text), 1) > 0.25 THEN 'ru'
+                     ELSE 'en'
+                   END AS lang_guess
+            FROM documents
+        """,
+        "fingerprint_documents": """
+            SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "exact_dedup_documents": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM
+                (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50)
+            )
+            SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+                   count(*) AS n_dups, min(doc_id) AS keeper
+            FROM all_docs GROUP BY 1
+        """,
+        "jaccard_pairs_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS gram
+              FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common,
+                   round(n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.2
+        """,
+        "ann_cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+    }

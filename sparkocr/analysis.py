@@ -1,0 +1,282 @@
+"""Training-data pipeline operators over document/transcript tables.
+
+Everything here is expressed with built-in ``pyspark.sql.functions``
+(JVM-side, whole-stage-codegen-able) — no Python in the hot path — except
+SimHash, which needs per-token hashing folds and runs as a vectorized
+pandas UDF. Each op is designed for the 100 TB shape:
+
+- exact dedup: one hash-shuffle on a 32-byte digest, not the payload
+- n-gram Jaccard near-dup: inverted-index token join (explode distinct
+  tokens → equi-join on token → count common), never O(n²) pairwise
+- MinHash+LSH: signatures via k independent xxhash64 streams, banded
+  bucket join so candidate pairs ~ collisions, not the cross product
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on",
+    "with", "as", "at", "by", "an", "be", "this", "are", "or",
+)
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count (JVM split, no UDF)."""
+    return df.withColumn(
+        "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("int")
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features: token count, stopword count/ratio,
+    punctuation count, mean token length — the length/punct/stopword
+    heuristics of a pretraining quality filter, all codegen'd."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    n_punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[,.!?;:]", "")
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("int"))
+        .withColumn("n_stop", n_stop.cast("int"))
+        .withColumn("n_punct", n_punct.cast("int"))
+        .withColumn(
+            "stop_ratio",
+            F.round(n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 4),
+        )
+        .withColumn(
+            "mean_tok_len",
+            F.round(
+                (F.length(F.col(text_col)) - n_tokens + 1).cast("double")
+                / F.greatest(n_tokens, F.lit(1)),
+                4,
+            ),
+        )
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-class language heuristic (CJK / kana / hangul / cyrillic
+    densities → zh/ja/ko/ru, else en). Range regexes only, so the same
+    expression runs under Java regex and RE2."""
+    total = F.greatest(F.length(F.col(text_col)), F.lit(1))
+
+    def frac(pattern: str):
+        kept = F.length(F.regexp_replace(F.col(text_col), pattern, ""))
+        return (F.length(F.col(text_col)) - kept).cast("double") / total
+
+    cjk = frac(r"[^一-鿿]")
+    kana = frac(r"[^぀-ヿ]")
+    hangul = frac(r"[^가-힯]")
+    cyr = frac(r"[^Ѐ-ӿ]")
+    return df.withColumn(
+        "lang_guess",
+        F.when(kana > 0.05, "ja")
+        .when(cjk > 0.25, "zh")
+        .when(hangul > 0.25, "ko")
+        .when(cyr > 0.25, "ru")
+        .otherwise("en"),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text (md5 so the DuckDB oracle can reproduce it bit-for-bit)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(norm))
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+
+def exact_dedup_groups(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group on the md5 digest (32-byte shuffle key, the
+    payload never moves), emit (fingerprint, n_dups, keeper)."""
+    return (
+        with_fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.min(key_col).alias("keeper"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Word n-gram Jaccard near-dup pairs via inverted-index join.
+
+    distinct n-grams per doc → explode → self-equi-join on the n-gram →
+    count common per pair → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+    Shuffle is bounded by total n-gram postings; no cross product. At
+    100 TB add a document-frequency cap on hot n-grams (df > ~1e5) to
+    bound the join fan-out — the standard stop-shingle guard."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    base = df.select(F.col(key_col).alias("doc"), grams.alias("grams")).where(
+        F.size(F.col("grams")) > 0
+    )
+    sizes = base.select("doc", F.size("grams").alias("n_grams"))
+    posting = base.select("doc", F.explode("grams").alias("gram"))
+    common = (
+        posting.alias("a")
+        .join(posting.alias("b"), "gram")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_grams", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_grams", "nb"), "doc_b")
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .where(F.col("jaccard_raw") >= threshold)
+        .select(
+            "doc_a", "doc_b", "n_common",
+            F.round("jaccard_raw", 4).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    n_shingle: int = 3,
+    n_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures: k independent hash streams via
+    xxhash64(seed_i, shingle); signature = array of per-stream minima.
+    One explode + one groupBy; the shingle text itself never shuffles
+    (only 8-byte hashes)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n_shingle, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n_shingle)),
+        )
+    )
+    posting = (
+        df.select(F.col(key_col).alias("doc"), F.explode(grams).alias("gram"))
+    )
+    hashed = posting.select(
+        "doc",
+        *[
+            F.xxhash64(F.lit(i), F.col("gram")).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    aggs = [F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
+    sig = hashed.groupBy("doc").agg(*aggs)
+    return sig.select(
+        "doc", F.array(*[f"m{i}" for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    n_shingle: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs: split the signature into ``bands``
+    rows-per-band chunks, bucket-join on (band, chunk-hash). Candidates ~
+    actual collisions; verify with exact signature similarity."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, key_col, text_col, n_shingle, n_hashes)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("doc", "signature", F.explode(band_cols).alias("bb")).select(
+        "doc", "signature", "bb.band", "bb.bucket"
+    )
+    pairs = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(n_hashes),
+        4,
+    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def simhash64(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (vectorized pandas UDF: the
+    per-bit majority fold has no good codegen form). Deterministic
+    blake2b-based token hashing — stable across processes/machines."""
+    import hashlib
+
+    @F.pandas_udf(LongType())
+    def sim(s: pd.Series) -> pd.Series:
+        out = np.zeros(len(s), dtype=np.int64)
+        for i, text in enumerate(s):
+            if not text:
+                continue
+            toks = text.split(" ")
+            hs = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                    )
+                    for t in toks
+                ],
+                dtype=np.uint64,
+            )
+            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc = np.where(bits == 1, 1, -1).sum(axis=0)
+            v = np.uint64(0)
+            for b in range(64):
+                if acc[b] > 0:
+                    v |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(v.astype(np.int64))
+        return pd.Series(out)
+
+    return df.withColumn("simhash", sim(F.col(text_col)))

@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (one narrow pass + a
+global top-k, no shuffle of the vectors); LSH-bucketed search is the
+scale path: random-hyperplane signatures prune candidates so only one
+bucket's worth of vectors is scored per query. All arithmetic is
+JVM-side (``aggregate``/``zip_with`` fold in double precision — exactly
+reproducible by the DuckDB oracle)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(df: DataFrame, query_vec: list[float],
+                vec_col: str = "embedding") -> DataFrame:
+    """Adds ``cosine`` similarity to a literal query vector (computed in
+    double, rounded to 4 — the oracle-stable contract)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return df.withColumn("cosine", F.round(cos, 4))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: narrow map + global ordered limit
+    (Spark executes LIMIT over sorted partitions as a TakeOrdered — no
+    full sort shuffle). Deterministic tiebreak on the id."""
+    return (
+        with_cosine(df, query_vec, vec_col)
+        .select(id_col, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: blake2b counter stream →
+    standard-normal-ish values via inverse-uniform trick (fixed, no RNG
+    state; same planes on every machine)."""
+    raw = np.empty(dim * n_planes, dtype=np.float64)
+    for i in range(dim * n_planes):
+        h = hashlib.blake2b(f"plane:{i}".encode(), digest_size=8).digest()
+        u = int.from_bytes(h, "big") / 2**64  # uniform (0,1)
+        raw[i] = u - 0.5
+    return raw.reshape(n_planes, dim)
+
+
+def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 12,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucket id: sign bits of <v, plane_j>. At
+    100 TB this is the partition key for the vector index (bucketed
+    write), so a query touches one bucket, not the corpus."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        pj = F.array(*[F.lit(float(x)) for x in planes[j]])
+        bit = (_dot(F.col(vec_col), pj) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, j)
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    ``probe_hamming`` bits of the query's bucket (multi-probe)."""
+    planes = _hyperplanes(dim, n_planes)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for j in range(n_planes):
+        if float(qv @ planes[j]) > 0:
+            qbucket |= 1 << j
+    candidates = {qbucket}
+    if probe_hamming >= 1:
+        for j in range(n_planes):
+            candidates.add(qbucket ^ (1 << j))
+    bucketed = with_lsh_bucket(df, dim, n_planes, vec_col)
+    pruned = bucketed.where(F.col("bucket").isin(*[int(c) for c in candidates]))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
