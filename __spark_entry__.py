@@ -414,9 +414,14 @@ def oracle_sql() -> dict[str, str]:
                      generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
                      unnest(string_split(text, ' ')) AS tok
               FROM documents
-            ), grams AS (
+            ), grams_all AS (
               SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS gram
               FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
+            ), grams AS (
+              -- stop-shingle guard, same max_df=100 cap as the Spark op
+              SELECT g.doc_id, g.gram FROM grams_all g
+              JOIN (SELECT gram FROM grams_all GROUP BY gram
+                    HAVING count(*) <= 100) keep USING (gram)
             ), sizes AS (
               SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
             ), common AS (

@@ -118,14 +118,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs via inverted-index join.
 
     distinct n-grams per doc → explode → self-equi-join on the n-gram →
     count common per pair → |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
-    Shuffle is bounded by total n-gram postings; no cross product. At
-    100 TB add a document-frequency cap on hot n-grams (df > ~1e5) to
-    bound the join fan-out — the standard stop-shingle guard."""
+    Shuffle is bounded by total n-gram postings; no cross product.
+
+    ``max_df`` is the stop-shingle guard that makes the join tractable at
+    any scale: an n-gram appearing in more than ``max_df`` documents
+    carries no near-dup signal but contributes O(df²) join fan-out, so
+    hot n-grams are dropped BEFORE the self-join and pair sizes |A|,|B|
+    are counted over the surviving postings (both sides of the Jaccard
+    see the same filtered universe — the oracle SQL mirrors this
+    exactly). ``max_df=None`` disables the cap (exact, small inputs
+    only)."""
     toks = F.split(F.col(text_col), " ")
     grams = F.array_distinct(
         F.transform(
@@ -136,8 +144,19 @@ def ngram_jaccard_pairs(
     base = df.select(F.col(key_col).alias("doc"), grams.alias("grams")).where(
         F.size(F.col("grams")) > 0
     )
-    sizes = base.select("doc", F.size("grams").alias("n_grams"))
     posting = base.select("doc", F.explode("grams").alias("gram"))
+    if max_df is not None:
+        # anti-join against the (small) hot-gram list: a partial-agg
+        # count + AQE-sized join, cheaper at scale than a window over
+        # every posting (which would sort-shuffle the full posting list)
+        hot = (
+            posting.groupBy("gram")
+            .agg(F.count("*").alias("gram_df"))
+            .where(F.col("gram_df") > max_df)
+            .select("gram")
+        )
+        posting = posting.join(hot, "gram", "left_anti")
+    sizes = posting.groupBy("doc").agg(F.count("*").alias("n_grams"))
     common = (
         posting.alias("a")
         .join(posting.alias("b"), "gram")
