@@ -27,13 +27,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _as_transcripts(docs: DataFrame) -> DataFrame:
     """documents → the transcript input shape (one doc = one turn; convs
-    keyed by source)."""
+    keyed by source). The small test parquet arrives as ONE scan split,
+    which would serialize the extraction UDF on a single core — the
+    round-robin repartition is the same rebalance a salted repartition
+    performs on a skewed production scan."""
+    spread = docs.sparkSession.sparkContext.defaultParallelism
     return docs.select(
         F.col("source").alias("conv_id"),
         F.col("doc_id").cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
         "text",
-    )
+    ).repartition(spread)
 
 
 # ---------------------------------------------------------------------------
@@ -66,8 +70,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         with_quality,
         with_token_count,
     )
-    from sparkocr.ann import cosine_topk, lsh_topk
+    from sparkocr.ann import cosine_neardup_pairs, cosine_topk, lsh_topk
     from sparkocr.engine import SparkOcrEngine, explode_blocks, ordered
+    from sparkocr.layout import assemble_documents, parse_layout
+    from sparkocr.multimodal import (
+        MEDIA_SCHEMA,
+        image_features,
+        media_rows,
+        sample_frames,
+    )
 
     # -- relational operators (SQL-oracle-checked) --------------------------
 
@@ -214,6 +225,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
         return cosine_topk(emb, list(qv), k=10)
 
+    def q_embed_neardup_exact(spark, sf):
+        # threshold tuned to the synthetic embeddings (near-random:
+        # max pairwise cosine ≈ 0.51) so the result is non-trivial
+        return cosine_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.38)
+
+    def q_embed_neardup_lsh(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        dim = len(emb.select("embedding").head()[0])
+        return cosine_neardup_pairs(emb, threshold=0.38, dim=dim, n_planes=6)
+
+    # -- relational joins / grouping (SQL-oracle-checked) --------------------
+
+    def q_broadcast_join_orders(spark, sf):
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        return (
+            orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        )
+
+    def q_semi_join_customer(spark, sf):
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        return cust.join(orders, cust.c_custkey == orders.o_custkey,
+                         "left_semi").select("c_custkey")
+
+    def q_anti_join_customer(spark, sf):
+        # customers with no large order (every customer has SOME order in
+        # this data, so the unfiltered anti-join would be empty)
+        cust = _t(spark, sf, "customer")
+        big = _t(spark, sf, "orders").where(F.col("o_totalprice") > 400000)
+        return cust.join(big, cust.c_custkey == big.o_custkey,
+                         "left_anti").select("c_custkey")
+
+    def q_rollup_orders(spark, sf):
+        return (
+            _t(spark, sf, "orders")
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def q_except_nations(spark, sf):
+        cust = _t(spark, sf, "customer").where(F.col("c_acctbal") > 9000) \
+            .select(F.col("c_nationkey").alias("nationkey")).distinct()
+        supp = _t(spark, sf, "supplier").where(F.col("s_acctbal") > 9000) \
+            .select(F.col("s_nationkey").alias("nationkey")).distinct()
+        return cust.subtract(supp)
+
+    # -- layout / document parsing -------------------------------------------
+
+    def q_doc_pages_documents(spark, sf):
+        payloads = assemble_documents(_t(spark, sf, "documents"),
+                                      "doc_id", "text", pages_per_doc=3)
+        return (
+            payloads.select(
+                "pdoc_id",
+                F.posexplode(F.split("payload", "\f")).alias("page_no", "page"),
+            )
+            .select("pdoc_id", F.col("page_no").cast("long").alias("page_no"),
+                    F.length("page").cast("long").alias("n_chars"))
+        )
+
+    def q_layout_regions_documents(spark, sf):
+        payloads = assemble_documents(_t(spark, sf, "documents"),
+                                      "doc_id", "text", pages_per_doc=3)
+        parsed = parse_layout(payloads.select(F.col("pdoc_id"),
+                                              F.col("payload").alias("text")),
+                              passthrough=("pdoc_id",))
+        return (
+            parsed.select("pdoc_id", F.explode("regions").alias("r"))
+            .select("pdoc_id", "r.page", "r.pos", "r.region_type",
+                    "r.start", "r.end")
+        )
+
+    # -- multimodal (deterministic fake codec; plumbing is the subject) ------
+
+    def q_media_image_features(spark, sf):
+        media = spark.createDataFrame(media_rows(120), MEDIA_SCHEMA)
+        out = image_features(media.where(F.col("kind") == "image"))
+        return out.select(
+            "media_id",
+            F.round(F.element_at("features", 1), 2).alias("mean_px"),
+            F.size("features").alias("n_features"),
+            "decode_error",
+        )
+
+    def q_media_video_frames(spark, sf):
+        media = spark.createDataFrame(media_rows(120), MEDIA_SCHEMA)
+        out = sample_frames(media, every_n=2)
+        return out.select("media_id", "frame_idx",
+                          F.length("frame").alias("frame_bytes"))
+
     # -- extraction pipeline (rows-only: correctness gate = golden tests) ----
 
     def q_extract_documents(spark, sf):
@@ -288,6 +394,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_documents": q_minhash_lsh_pairs_documents,
         "simhash_documents": q_simhash_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "embed_neardup_exact": q_embed_neardup_exact,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
+        "broadcast_join_orders": q_broadcast_join_orders,
+        "semi_join_customer": q_semi_join_customer,
+        "anti_join_customer": q_anti_join_customer,
+        "rollup_orders": q_rollup_orders,
+        "except_nations": q_except_nations,
+        "doc_pages_documents": q_doc_pages_documents,
+        "layout_regions_documents": q_layout_regions_documents,
+        "media_image_features": q_media_image_features,
+        "media_video_frames": q_media_video_frames,
     }
 
 
@@ -435,6 +552,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.2
+        """,
+        "embed_neardup_exact": """
+            SELECT id_a, id_b, cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                  b.embedding::DOUBLE[]), 4) AS cosine
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.38
+        """,
+        "broadcast_join_orders": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "semi_join_customer": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "anti_join_customer": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "except_nations": """
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            WHERE c_acctbal > 9000
+            EXCEPT
+            SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+            WHERE s_acctbal > 9000
+        """,
+        "doc_pages_documents": """
+            WITH payloads AS (
+              SELECT doc_id // 3 AS pdoc_id,
+                     string_agg(text, chr(12) ORDER BY doc_id) AS payload
+              FROM documents GROUP BY 1
+            )
+            SELECT pdoc_id,
+                   generate_subscripts(string_split(payload, chr(12)), 1) - 1 AS page_no,
+                   length(unnest(string_split(payload, chr(12)))) AS n_chars
+            FROM payloads
         """,
         "ann_cosine_topk": """
             SELECT vec_id,

@@ -1,0 +1,71 @@
+"""Cluster entry point: the extraction job as run via spark-submit.
+
+    python -m zipfile -c /tmp/sparkocr.zip sparkocr
+    spark-submit --master local[8] --py-files /tmp/sparkocr.zip \
+        scripts/run_extract.py \
+        --input /root/testdata/sf0.001/documents.parquet --as-transcripts \
+        --output /tmp/extract_out --n-buckets 16 --batch-buckets 4
+
+On a real cluster, only --master/--deploy-mode change: the code ships in
+the --py-files zip (the reference's embedded-model trick, main.rs:8-13 —
+zero install on executors), the session is created WITHOUT a master so
+spark-submit's cluster manager wins, and the checkpoint ledger makes
+re-submission after any failure resume instead of restart. Re-running a
+completed job is a no-op.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_session(app: str) -> SparkSession:
+    # no .master() here — spark-submit / cluster manager decides
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="parquet path (transcripts or documents)")
+    p.add_argument("--output", required=True, help="checkpointed output dir")
+    p.add_argument("--as-transcripts", action="store_true",
+                   help="input is a documents table; map to transcript shape")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--batch-buckets", type=int, default=8)
+    args = p.parse_args()
+
+    from sparkocr.checkpoint import run_checkpointed
+
+    spark = build_session("sparkocr-extract")
+    df = spark.read.parquet(args.input)
+    if args.as_transcripts:
+        df = df.select(
+            F.col("source").alias("conv_id"),
+            F.col("doc_id").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            "text",
+        )
+    summary = run_checkpointed(
+        spark, df, args.output, input_path=args.input,
+        n_buckets=args.n_buckets, batch_buckets=args.batch_buckets,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,6 +61,46 @@ def cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    ``n_planes=None`` → exact: self-join on ``id_a < id_b`` (a cross
+    product — only for oracle checks at small scale). With ``n_planes``
+    (requires ``dim``) → the scale path: pairs are only scored when both
+    vectors share an LSH bucket, so the join is an equi-join on the
+    bucket id and the candidate count tracks bucket occupancy, not n².
+    Pairs whose true cosine ≥ threshold but whose signs differ on some
+    hyperplane are missed — the standard LSH recall trade, tunable via
+    ``n_planes``. Columns: (id_a, id_b, cosine)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if n_planes is not None:
+        if dim is None:
+            raise ValueError("dim is required for LSH-bucketed near-dup")
+        ab = with_lsh_bucket(df, dim, n_planes, vec_col)
+        a = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                      F.col("bucket").alias("bucket_a"))
+        b = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                      F.col("bucket").alias("bucket_b"))
+        pairs = a.join(b, (F.col("bucket_a") == F.col("bucket_b"))
+                       & (F.col("id_a") < F.col("id_b")))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 4))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: blake2b counter stream →
     standard-normal-ish values via inverse-uniform trick (fixed, no RNG

@@ -92,7 +92,7 @@ def line_scores(grid: TurnGrid) -> np.ndarray:
         return np.zeros(n_lines, dtype=np.int64)
     nl = cp == 10
     line_id = np.cumsum(nl) - nl  # newline char belongs to the line it ends
-    ws = np.isin(cp, _WS_CODES) | nl
+    ws = (cp == 9) | (cp == 32) | nl
     vis_ns = ~mk & ~ws
     an = anchor_mask(grid.text)
 
@@ -134,7 +134,8 @@ def find_text_boxes(
         d = np.diff(np.concatenate(([0], seg_ok.astype(np.int8), [0])))
         starts = np.flatnonzero(d == 1)
         ends = np.flatnonzero(d == -1)
-        ws = np.isin(grid.cp[ls:le], _WS_CODES)
+        seg_cp = grid.cp[ls:le]
+        ws = (seg_cp == 9) | (seg_cp == 32)
         for s, e in zip(starts, ends):
             nz = np.flatnonzero(~ws[s:e])
             if nz.size == 0:

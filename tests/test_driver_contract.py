@@ -63,7 +63,8 @@ def test_every_query_has_oracle_or_is_pipeline():
     for name in rows_only:
         assert any(
             name.startswith(p)
-            for p in ("extract", "spans", "minhash", "simhash", "lsh")
+            for p in ("extract", "spans", "minhash", "simhash", "lsh",
+                      "layout", "media", "embed_neardup_lsh")
         ), name
 
 
