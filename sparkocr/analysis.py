@@ -144,7 +144,12 @@ def ngram_jaccard_pairs(
     base = df.select(F.col(key_col).alias("doc"), grams.alias("grams")).where(
         F.size(F.col("grams")) > 0
     )
+    # the posting list feeds four consumers (hot-gram agg, the anti-join,
+    # and BOTH sides of the self-join); without persistence Catalyst
+    # re-executes the tokenize+shingle explode for each — at any scale,
+    # materializing postings once is the cheaper plan (disk-spillable)
     posting = base.select("doc", F.explode("grams").alias("gram"))
+    posting = posting.persist()
     if max_df is not None:
         # anti-join against the (small) hot-gram list: a partial-agg
         # count + AQE-sized join, cheaper at scale than a window over
@@ -155,7 +160,7 @@ def ngram_jaccard_pairs(
             .where(F.col("gram_df") > max_df)
             .select("gram")
         )
-        posting = posting.join(hot, "gram", "left_anti")
+        posting = posting.join(hot, "gram", "left_anti").persist()
     sizes = posting.groupBy("doc").agg(F.count("*").alias("n_grams"))
     common = (
         posting.alias("a")
@@ -239,9 +244,11 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    # both sides of the candidate self-join read the bucket table; persist
+    # so the signature pipeline (explode + k hashes + groupBy) runs once
     buckets = sig.select("doc", "signature", F.explode(band_cols).alias("bb")).select(
         "doc", "signature", "bb.band", "bb.bucket"
-    )
+    ).persist()
     pairs = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "bucket"])

@@ -1,0 +1,91 @@
+"""Scale semantics: skew rebalancing, parallelism-invariant results,
+deterministic ordered sinks, format-negotiating sources."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkocr.engine import SparkOcrEngine, ordered, with_rank
+from sparkocr.sources import (
+    iceberg_available,
+    read_transcripts,
+    write_json_blocks,
+    write_ordered,
+    write_text,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """One whale conversation (2000 turns) + 50 minnows (10 turns)."""
+    rows = [("whale", i, "user", f"<p>whale turn {i} says interesting things.</p>")
+            for i in range(2000)]
+    for c in range(50):
+        rows += [(f"minnow-{c}", i, "user", f"<p>minnow {c} turn {i} text.</p>")
+                 for i in range(10)]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+
+
+def test_whale_conversation_rebalances(spark, skewed):
+    eng = SparkOcrEngine(spark)
+    out = eng.extract(skewed, repartition=16)
+    # the whale must NOT serialize on one task: round-robin repartition
+    # spreads its turns across all partitions (the salted-compute move)
+    sizes = [
+        r["count"]
+        for r in skewed.repartition(16)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    ]
+    assert len(sizes) == 16
+    assert max(sizes) <= 2 * (sum(sizes) / len(sizes))
+    assert out.count() == 2500
+    assert out.where(F.col("error_code").isNotNull()).count() == 0
+
+
+def test_results_invariant_under_parallelism(spark, skewed):
+    """Same input at 1 partition and 13 partitions → identical rows
+    (the local[8]-vs-local[32] text-equality requirement in miniature)."""
+    eng = SparkOcrEngine(spark)
+    a = {(r["conv_id"], r["turn_idx"]): r["full_text"]
+         for r in eng.extract(skewed.repartition(1)).collect()}
+    b = {(r["conv_id"], r["turn_idx"]): r["full_text"]
+         for r in eng.extract(skewed.repartition(13)).collect()}
+    assert a == b
+
+
+def test_ordered_and_rank_are_deterministic(spark, skewed):
+    eng = SparkOcrEngine(spark)
+    out = eng.extract(skewed.repartition(13))
+    got = [(r["conv_id"], r["turn_idx"]) for r in ordered(out).collect()]
+    assert got == sorted(got)
+    ranked = with_rank(out.select("conv_id", "turn_idx"))
+    rows = ranked.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] == sorted(got)
+
+
+def test_sinks_round_trip(spark, skewed, tmp_path):
+    eng = SparkOcrEngine(spark)
+    out = eng.extract(skewed.where(F.col("conv_id") != "whale")).cache()
+
+    p = str(tmp_path / "ordered")
+    write_ordered(out.select("conv_id", "turn_idx", "n_blocks", "full_text"), p)
+    back = read_transcripts(spark, p)
+    assert back.count() == 500
+
+    t = str(tmp_path / "text")
+    write_text(out, t)
+    lines = spark.read.text(t)
+    assert lines.count() == 500
+
+    j = str(tmp_path / "json")
+    write_json_blocks(out.select("conv_id", "turn_idx", "blocks"), j)
+    rec = json.loads(spark.read.text(j).head()["value"])
+    assert {"conv_id", "turn_idx", "blocks"} <= set(rec)
+
+    assert iceberg_available(spark) in (True, False)  # no jar here: False
