@@ -269,6 +269,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n"))
         )
 
+    def q_cube_lineitem(spark, sf):
+        return (
+            _t(spark, sf, "lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        )
+
     def q_except_nations(spark, sf):
         cust = _t(spark, sf, "customer").where(F.col("c_acctbal") > 9000) \
             .select(F.col("c_nationkey").alias("nationkey")).distinct()
@@ -300,6 +308,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             parsed.select("pdoc_id", F.explode("regions").alias("r"))
             .select("pdoc_id", "r.page", "r.pos", "r.region_type",
                     "r.start", "r.end")
+        )
+
+    def q_extract_route_documents(spark, sf):
+        # tool turns carrying multi-page payloads take the layout path,
+        # plain turns the standard path — one fused stage for both
+        payloads = assemble_documents(_t(spark, sf, "documents"),
+                                      "doc_id", "text", pages_per_doc=5)
+        mixed = payloads.select(
+            F.lit("docs").alias("conv_id"),
+            F.col("pdoc_id").cast("int").alias("turn_idx"),
+            F.lit("tool").alias("role"),
+            F.col("payload").alias("text"),
+        )
+        eng = SparkOcrEngine(spark)
+        out = eng.extract(mixed, route_documents=True)
+        return ordered(out).select("conv_id", "turn_idx", "n_blocks", "full_text")
+
+    def q_orders_by_month(spark, sf):
+        return (
+            _t(spark, sf, "orders")
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"))
         )
 
     # -- multimodal (deterministic fake codec; plumbing is the subject) ------
@@ -400,9 +431,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_customer": q_semi_join_customer,
         "anti_join_customer": q_anti_join_customer,
         "rollup_orders": q_rollup_orders,
+        "cube_lineitem": q_cube_lineitem,
         "except_nations": q_except_nations,
         "doc_pages_documents": q_doc_pages_documents,
         "layout_regions_documents": q_layout_regions_documents,
+        "extract_route_documents": q_extract_route_documents,
+        "orders_by_month": q_orders_by_month,
         "media_image_features": q_media_image_features,
         "media_video_frames": q_media_video_frames,
     }
@@ -580,12 +614,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority, count(*) AS n
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
+        "cube_lineitem": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
         "except_nations": """
             SELECT DISTINCT c_nationkey AS nationkey FROM customer
             WHERE c_acctbal > 9000
             EXCEPT
             SELECT DISTINCT s_nationkey AS nationkey FROM supplier
             WHERE s_acctbal > 9000
+        """,
+        "orders_by_month": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY 1
         """,
         "doc_pages_documents": """
             WITH payloads AS (

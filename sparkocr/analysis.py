@@ -244,11 +244,12 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    # both sides of the candidate self-join read the bucket table; persist
-    # so the signature pipeline (explode + k hashes + groupBy) runs once
+    # both self-join sides recompute the signature pipeline; measured
+    # cheaper than persisting here (the agg output is small and caching
+    # breaks whole-stage fusion of the k-hash aggregate)
     buckets = sig.select("doc", "signature", F.explode(band_cols).alias("bb")).select(
         "doc", "signature", "bb.band", "bb.bucket"
-    ).persist()
+    )
     pairs = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "bucket"])

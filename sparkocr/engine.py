@@ -112,15 +112,21 @@ class SparkOcrEngine:
         text_col: str = "text",
         passthrough: tuple = ("conv_id", "turn_idx", "role"),
         repartition: int | None = None,
+        route_documents: bool = False,
     ) -> DataFrame:
         """ProcessOcr over the whole table: one narrow mapInPandas stage.
 
         ``passthrough`` columns are carried alongside the results;
         ``repartition`` optionally rebalances input rows first (hash of
         the row key — NOT conv_id alone, so whale conversations spread
-        across tasks; the salting story for the map stage)."""
+        across tasks; the salting story for the map stage).
+        ``route_documents`` sends tool-role turns carrying multi-page
+        document payloads through the layout-region parser instead
+        (requires a ``role`` column; see pipeline.extract_turn_auto)."""
         cfg = self.config
         keep = [c for c in passthrough if c in df.columns]
+        if route_documents and "role" not in df.columns:
+            raise ValueError("route_documents requires a 'role' column")
         src = df.select(*keep, F.col(text_col).alias("__text__"))
         if repartition:
             src = src.repartition(repartition)
@@ -130,14 +136,22 @@ class SparkOcrEngine:
         )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .pipeline import extract_turn_auto
+
             for pdf in batches:
                 n = len(pdf)
                 blocks_col, ftext_col = [], []
                 nb_col = np.zeros(n, dtype=np.int32)
                 ec_col, em_col = [None] * n, [None] * n
                 texts = pdf["__text__"].to_numpy(dtype=object)
+                roles = (pdf["role"].to_numpy(dtype=object)
+                         if route_documents else None)
                 for i in range(n):
-                    r = extract_turn(_clean_text(texts[i]), cfg)
+                    if route_documents:
+                        r = extract_turn_auto(
+                            _clean_text(texts[i]), roles[i], cfg)
+                    else:
+                        r = extract_turn(_clean_text(texts[i]), cfg)
                     blocks_col.append([b.__dict__ for b in r.blocks])
                     ftext_col.append(r.full_text)
                     nb_col[i] = len(r.blocks)

