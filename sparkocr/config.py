@@ -82,6 +82,23 @@ class EngineConfig:
         d.update(kw)
         return EngineConfig(**d)
 
+    # builder parity with the reference's Det (det.rs:97-116) and Rec
+    # (rec.rs:131-141) fluent setters — each returns a new frozen config
+    def with_rect_border_size(self, v: int) -> "EngineConfig":
+        return self.with_overrides(rect_border_size=v)
+
+    def with_merge_boxes(self, v: bool) -> "EngineConfig":
+        return self.with_overrides(merge_boxes=v)
+
+    def with_merge_threshold(self, v: int) -> "EngineConfig":
+        return self.with_overrides(merge_threshold=v)
+
+    def with_min_score(self, v: float) -> "EngineConfig":
+        return self.with_overrides(min_score=v)
+
+    def with_punct_min_score(self, v: float) -> "EngineConfig":
+        return self.with_overrides(punct_min_score=v)
+
 
 # the configuration the flagship pipeline runs with (CLI parity: border 12,
 # merge threshold 1 — main.rs:114 — plus engine-default merge enabled)

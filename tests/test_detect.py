@@ -196,3 +196,20 @@ def test_crop_formfeed_and_cr_are_line_breaks():
     g = TurnGrid("pagecontent one\fpagecontent two")
     assert len(g.lines) == 2
     assert g.text[15] == "\n"
+
+
+def test_config_builder_parity():
+    """Fluent builder setters mirror Det/Rec builders (det.rs:97-116,
+    rec.rs:131-141): chainable, frozen, value-preserving."""
+    from sparkocr.config import DEFAULT_CONFIG
+
+    cfg = (
+        DEFAULT_CONFIG.with_rect_border_size(12)
+        .with_merge_boxes(False)
+        .with_merge_threshold(3)
+        .with_min_score(0.7)
+        .with_punct_min_score(0.2)
+    )
+    assert (cfg.rect_border_size, cfg.merge_boxes, cfg.merge_threshold,
+            cfg.min_score, cfg.punct_min_score) == (12, False, 3, 0.7, 0.2)
+    assert DEFAULT_CONFIG.rect_border_size == 10  # original untouched

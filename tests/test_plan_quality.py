@@ -1,0 +1,106 @@
+"""Physical-plan hygiene: the properties that keep the engine fast at
+100 TB must be visible in the plans, not just hoped for.
+
+- filters reach the parquet scan (PushedFilters)
+- projections prune the read schema (ReadSchema)
+- the fused extract is a single narrow stage (no Exchange)
+- the small dimension side of a join broadcasts
+- whole-stage codegen covers the relational operators
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(tmp_path_factory):
+    return "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf):
+    df = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .where(F.col("p_size") > 5)
+        .select("p_partkey", "p_size")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,5)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf):
+    df = spark.read.parquet(f"{sf}/part.parquet").select("p_partkey", "p_size")
+    plan = _plan(df)
+    # only the 2 projected columns are read, not the full table
+    assert "ReadSchema: struct<p_partkey:bigint,p_size:int>" in plan
+
+
+def test_extract_is_single_narrow_stage(spark, sf):
+    from sparkocr.engine import SparkOcrEngine
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        "text",
+    )
+    plan = _plan(SparkOcrEngine(spark).extract(docs))
+    assert "Exchange" not in plan  # no shuffle anywhere in the fused map
+    assert "MapInPandas" in plan
+    # only conv_id/doc_id/text read from the file, and exactly one scan
+    assert plan.count("FileScan") == 1
+
+
+def test_small_dimension_broadcasts(spark, sf):
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_relational_ops_stay_in_codegen(spark, sf):
+    df = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+        .where(F.col("avg_qty") > 10)
+    )
+    plan = _plan(df)
+    # map-side combine: a partial_avg runs BEFORE the exchange, so the
+    # shuffle moves (sum, count) pairs per key, not raw rows
+    assert "partial_avg" in plan
+    assert plan.index("partial_avg") > plan.index("Exchange")  # partial below exchange
+    assert "BatchEvalPython" not in plan  # no accidental row-Python
+    # codegen spans hide under unexecuted AQE plans; check with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df2 = (
+            spark.read.parquet(f"{sf}/lineitem.parquet")
+            .groupBy("l_orderkey")
+            .agg(F.avg("l_quantity").alias("avg_qty"))
+            .where(F.col("avg_qty") > 10)
+        )
+        # "*(n)" operator prefixes are the whole-stage-codegen markers in
+        # the compact plan string (explain("formatted") spells them out)
+        assert "*(" in _plan(df2)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_no_row_at_a_time_python_udfs_in_package(spark):
+    """The input_hint mandates zero per-row Python: every UDF in the
+    package must be Arrow-vectorized (pandas_udf / mapInPandas), never
+    pyspark.sql.functions.udf."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "sparkocr"
+    offenders = []
+    for p in root.glob("*.py"):
+        src = p.read_text()
+        if "F.udf(" in src or "functions.udf(" in src or "@udf" in src:
+            offenders.append(p.name)
+    assert not offenders, offenders
