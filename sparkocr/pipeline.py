@@ -45,9 +45,17 @@ class TurnResult:
     error_msg: str | None = None
 
 
-# OcrError variant names we can meaningfully hit (error.rs:8-69)
-ERR_INPUT = "InputError"
-ERR_INFERENCE = "InferenceError"
+# OcrError taxonomy mapping (error.rs:8-69, 12 variants). Only the two
+# below can occur per-row here; the rest dissolve into Spark's own
+# failure domains and are listed for parity:
+#   Io/Image          → source read failures = task retry (scheduler)
+#   Mnn/Shape/Resize  → model-runtime errors; our deterministic "model"
+#                       cannot fail these ways (no tensor runtime)
+#   Output/Json       → sink-side; Spark writers raise at the action
+#   Engine/Thread     → worker lifecycle = executor loss + task retry
+#   Arg               → config validation at engine construction
+ERR_INPUT = "InputError"          # null/absent text (error.rs: InputError)
+ERR_INFERENCE = "InferenceError"  # any per-turn processing exception
 
 
 def extract_turn_auto(

@@ -80,6 +80,47 @@ def extract_stream(
     return writer.start()
 
 
+def dedupe_stream(src: DataFrame) -> DataFrame:
+    """Custom stateful operator: exactly-once turn dedupe across
+    micro-batches via ``applyInPandasWithState``.
+
+    An at-least-once upstream (replayed kafka offsets, re-dropped files)
+    can deliver the same (conv_id, turn_idx) twice, possibly in
+    different micro-batches — beyond ``dropDuplicates``' power without a
+    watermark-bounded buffer. State per conv_id is the set of turn_idx
+    already emitted (a per-conversation bitmap at scale); a turn passes
+    through iff its index is unseen. First-writer-wins, deterministic.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = TRANSCRIPT_SCHEMA
+    state_schema = StructType([StructField("seen", StringType())])
+
+    def dedupe(key, pdfs, state: GroupState):
+        seen = set()
+        if state.exists:
+            (seen_csv,) = state.get
+            if seen_csv:
+                seen = set(int(x) for x in seen_csv.split(","))
+        frames = []
+        for pdf in pdfs:
+            fresh = pdf[~pdf["turn_idx"].isin(seen)]
+            # dedupe within the batch too, keeping first occurrence
+            fresh = fresh[~fresh["turn_idx"].duplicated()]
+            seen.update(int(t) for t in fresh["turn_idx"])
+            frames.append(fresh)
+        state.update((",".join(str(t) for t in sorted(seen)),))
+        out = pd.concat(frames) if frames else pd.DataFrame()
+        if len(out):
+            yield out
+
+    return src.groupBy("conv_id").applyInPandasWithState(
+        dedupe, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def quality_metrics_stream(
     spark: SparkSession,
     input_path: str,

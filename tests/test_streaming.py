@@ -71,3 +71,39 @@ def test_quality_metrics_stream_plan(spark, tmp_path):
     # single batch nothing seals, so the table exists and is empty; the
     # point is the watermarked windowed agg plan executes on a stream
     assert spark.table("qm").columns == ["win", "n_turns", "n_blocks", "empty_rate"]
+
+
+def test_dedupe_stream_exactly_once_across_batches(spark, tmp_path):
+    """The stateful dedupe drops replayed turns even when the replay
+    arrives in a LATER micro-batch (state outlives the batch)."""
+    from sparkocr.streaming import dedupe_stream, read_transcript_stream
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = turns_pandas(seed=13, n_convs=4)
+
+    def run_batch():
+        q = (
+            dedupe_stream(read_transcript_stream(spark, src))
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: first 60% of turns
+    cut = int(len(pdf) * 0.6)
+    _write_batch(spark, pdf.iloc[:cut], src)
+    run_batch()
+    assert spark.read.parquet(out).count() == cut
+
+    # batch 2: remaining turns PLUS a full replay of batch 1 — the
+    # replayed turns must be dropped by state that outlived the batch
+    import pandas as pd
+    _write_batch(spark, pd.concat([pdf.iloc[cut:], pdf.iloc[:cut]]), src)
+    run_batch()
+    got = spark.read.parquet(out)
+    assert got.count() == len(pdf)
+    keys = [(r["conv_id"], r["turn_idx"]) for r in got.collect()]
+    assert len(set(keys)) == len(keys) == len(pdf)
