@@ -269,6 +269,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n"))
         )
 
+    def q_asof_join_events(spark, sf):
+        from sparkocr.relational import asof_join
+
+        ev = _t(spark, sf, "events")
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts")
+        clicks = ev.where(F.col("event_type") == "click")
+        return (
+            asof_join(purchases, clicks, on="ts", by="user_id",
+                      right_cols=("value",), tiebreak="event_id")
+            .select("event_id", "user_id",
+                    F.round("value_asof", 4).alias("value_asof"))
+        )
+
+    def q_interval_join_events(spark, sf):
+        from sparkocr.relational import interval_overlap_join
+
+        iv = (
+            _t(spark, sf, "events")
+            .where(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("k"),
+                F.floor(F.col("value") * 100).cast("long").alias("start"),
+                (F.floor(F.col("value") * 100) + 50).cast("long").alias("end"),
+            )
+        )
+        return interval_overlap_join(iv, "k", threshold=2, band=64)
+
     def q_cube_lineitem(spark, sf):
         return (
             _t(spark, sf, "lineitem")
@@ -432,6 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customer": q_anti_join_customer,
         "rollup_orders": q_rollup_orders,
         "cube_lineitem": q_cube_lineitem,
+        "asof_join_events": q_asof_join_events,
+        "interval_join_events": q_interval_join_events,
         "except_nations": q_except_nations,
         "doc_pages_documents": q_doc_pages_documents,
         "layout_regions_documents": q_layout_regions_documents,
@@ -613,6 +643,24 @@ def oracle_sql() -> dict[str, str]:
         "rollup_orders": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "asof_join_events": """
+            SELECT p.event_id, p.user_id, round(c.value, 4) AS value_asof
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "interval_join_events": """
+            WITH iv AS (
+              SELECT event_id AS k,
+                     CAST(floor(value * 100) AS BIGINT) AS s,
+                     CAST(floor(value * 100) AS BIGINT) + 50 AS e
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT a.k AS k_a, b.k AS k_b, a.s AS s_a, a.e AS e_a,
+                   b.s AS s_b, b.e AS e_b
+            FROM iv a JOIN iv b
+              ON a.k < b.k AND a.s - 2 <= b.e AND b.s - 2 <= a.e
         """,
         "cube_lineitem": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,

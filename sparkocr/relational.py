@@ -1,0 +1,106 @@
+"""Relational operators Spark lacks as built-ins, composed from
+DataFrame primitives (SURVEY §2.6 gap-fills; no UDFs, fully
+Catalyst-optimizable).
+
+``asof_join`` — the time-series join ("latest right row at or before
+each left row"). Implemented as union + partitioned running ``last``
+rather than the naive range self-join: ONE shuffle on (by, ts), no
+per-key fan-out, no skew amplification — the shape that survives
+10^12-row event tables. A right row and a left row at the identical
+timestamp match (inclusive, `<=`), mirroring DuckDB/pandas ASOF
+semantics; ties inside `right` resolve to the greatest tiebreak value.
+
+``interval_overlap_join`` — the D9 overlap predicate
+(det.rs:429-464) lifted to DataFrame level: pairs of intervals that
+overlap within ±threshold slack. Banded equi-join on interval buckets
+turns the θ-join into an equi-join + residual predicate, so Spark
+shuffles on the band key instead of building a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    right_cols: tuple = ("value",),
+    tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach ``right_cols`` from the latest right row
+    with ``right.on <= left.on`` and the same ``by`` key (null when no
+    prior right row exists)."""
+    rc = {c: f"{c}{suffix}" for c in right_cols}
+    r = right.select(
+        F.col(by), F.col(on), F.lit(0).alias("__side"),
+        *[F.col(c).alias(rc[c]) for c in right_cols],
+        *( [F.col(tiebreak).alias("__tb")] if tiebreak else [F.lit(0).alias("__tb")] ),
+    )
+    l = left.select(
+        "*", F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(rc[c]) for c in right_cols],
+        (F.col(tiebreak) if tiebreak and tiebreak in left.columns else F.lit(0)).alias("__tb"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows (__side 0) sort before left rows at the same instant →
+    # inclusive as-of; __tb orders equal-instant right rows deterministically
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in right_cols:
+        u = u.withColumn(
+            rc[c],
+            F.last(F.when(F.col("__side") == 0, F.col(rc[c])), ignorenulls=True).over(w),
+        )
+    return u.where(F.col("__side") == 1).drop("__side", "__tb")
+
+
+def interval_overlap_join(
+    df: DataFrame,
+    key_col: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    threshold: int = 0,
+    band: int = 1000,
+) -> DataFrame:
+    """Self-join pairs whose [start, end] intervals overlap within
+    ±threshold (the boxes_overlap_with_threshold predicate at table
+    scale). Each interval is exploded into the ``band``-sized buckets it
+    touches; candidate pairs share a bucket (equi-join), then the exact
+    predicate filters, and dedup keeps one row per pair. Bucket count
+    per interval = O(length/band) — pick ``band`` ≈ typical interval
+    length."""
+    slack = threshold
+    banded = df.select(
+        F.col(key_col).alias("k"),
+        F.col(start_col).alias("s"),
+        F.col(end_col).alias("e"),
+        F.explode(
+            F.sequence(
+                F.floor((F.col(start_col) - slack) / band),
+                F.floor((F.col(end_col) + slack) / band),
+            )
+        ).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band"])
+        .where(
+            (F.col("a.k") < F.col("b.k"))
+            & (F.col("a.s") - slack <= F.col("b.e"))
+            & (F.col("b.s") - slack <= F.col("a.e"))
+        )
+        .select(
+            F.col("a.k").alias("k_a"), F.col("b.k").alias("k_b"),
+            F.col("a.s").alias("s_a"), F.col("a.e").alias("e_a"),
+            F.col("b.s").alias("s_b"), F.col("b.e").alias("e_b"),
+        )
+        .dropDuplicates(["k_a", "k_b"])
+    )

@@ -1,0 +1,65 @@
+"""asof_join / interval_overlap_join vs brute-force reference."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkocr.relational import asof_join, interval_overlap_join
+
+T0 = dt.datetime(2026, 1, 1)
+
+
+def _ts(m):
+    return T0 + dt.timedelta(minutes=m)
+
+
+def test_asof_join_matches_bruteforce(spark):
+    left = [(i, i % 3, _ts(m)) for i, m in enumerate([5, 10, 2, 30, 7, 19])]
+    right = [(100 + i, i % 3, _ts(m), float(m))
+             for i, m in enumerate([1, 4, 9, 9, 25, 3])]
+    ldf = spark.createDataFrame(left, "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(
+        right, "event_id long, user_id long, ts timestamp, value double")
+
+    got = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join(ldf, rdf, on="ts", by="user_id",
+                           right_cols=("value",), tiebreak="event_id").collect()
+    }
+    for eid, uid, ts in left:
+        cands = [(rts, rid, v) for rid, ruid, rts, v in right
+                 if ruid == uid and rts <= ts]
+        exp = max(cands)[2] if cands else None  # latest ts, then greatest id
+        assert got[eid] == exp, (eid, got[eid], exp)
+
+
+def test_asof_join_inclusive_same_instant(spark):
+    ldf = spark.createDataFrame([(1, 0, _ts(5))],
+                                "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame([(9, 0, _ts(5), 42.0)],
+                                "event_id long, user_id long, ts timestamp, value double")
+    [row] = asof_join(ldf, rdf, right_cols=("value",), tiebreak="event_id").collect()
+    assert row["value_asof"] == 42.0  # <= semantics: same instant matches
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    ivs = [(i, s, s + ln) for i, (s, ln) in enumerate(
+        [(0, 10), (5, 10), (30, 5), (36, 1), (100, 50), (149, 2), (400, 3)])]
+    df = spark.createDataFrame(ivs, "k long, start long, end long")
+    for thr in (0, 2):
+        got = {(r["k_a"], r["k_b"])
+               for r in interval_overlap_join(df, "k", threshold=thr, band=16).collect()}
+        exp = {(a[0], b[0]) for a in ivs for b in ivs
+               if a[0] < b[0] and a[1] - thr <= b[2] and b[1] - thr <= a[2]}
+        assert got == exp, (thr, got ^ exp)
+
+
+def test_interval_join_no_cross_product_in_plan(spark):
+    df = spark.createDataFrame([(i, i * 10, i * 10 + 5) for i in range(50)],
+                               "k long, start long, end long")
+    plan = interval_overlap_join(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
