@@ -422,6 +422,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash_documents(spark, sf):
         return simhash64(_t(spark, sf, "documents"), "doc_id").select("doc_id", "simhash")
 
+    def q_simhash_neardup_documents(spark, sf):
+        from sparkocr.analysis import simhash_neardup_pairs
+
+        docs = _t(spark, sf, "documents")
+        # plant near-dups: 30 docs replayed with a one-token prefix edit
+        dup = (
+            docs.orderBy("doc_id").limit(30)
+            .withColumn("doc_id", F.col("doc_id") + 2000000)
+            .withColumn("text", F.concat(F.lit("copy "), F.col("text")))
+        )
+        return simhash_neardup_pairs(docs.unionByName(dup), "doc_id",
+                                     max_hamming=3)
+
     def q_lsh_topk_embeddings(spark, sf):
         emb = _t(spark, sf, "embeddings")
         qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -452,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_documents": q_spans_documents,
         "minhash_lsh_pairs_documents": q_minhash_lsh_pairs_documents,
         "simhash_documents": q_simhash_documents,
+        "simhash_neardup_documents": q_simhash_neardup_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "embed_neardup_exact": q_embed_neardup_exact,
         "embed_neardup_lsh": q_embed_neardup_lsh,

@@ -307,3 +307,50 @@ def simhash64(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
         return pd.Series(out)
 
     return df.withColumn("simhash", sim(F.col(text_col)))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
+
+    Banded join, exact by pigeonhole: the 64-bit hash splits into 4
+    16-bit bands, and any pair within Hamming distance 3 (< 4 bands)
+    must agree EXACTLY on at least one band — so candidates = band
+    collisions (equi-join on (band_no, band_value), shuffle bounded by
+    collisions) and the residual ``bit_count(xor) <= k`` filter makes
+    the result exact, never a cross product. For ``max_hamming`` ≥ 4
+    widen to 8×8-bit bands accordingly (not needed here)."""
+    if max_hamming > 3:
+        raise ValueError("4×16-bit banding is only exact for max_hamming <= 3")
+    sh = simhash64(df, key_col, text_col).select(
+        F.col(key_col).alias("doc"), "simhash"
+    )
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band_no"),
+            F.shiftrightunsigned("simhash", 16 * i)
+            .bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+        )
+        for i in range(4)
+    ])
+    banded = sh.select("doc", "simhash", F.explode(bands).alias("b")).select(
+        "doc", "simhash", "b.band_no", "b.band_val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band_no", "band_val"])
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

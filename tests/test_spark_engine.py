@@ -140,3 +140,36 @@ def test_null_text_yields_error_row(engine, spark):
     )
     r = engine.extract(df).collect()[0]
     assert r.error_code == "InputError" and r.n_blocks == 0
+
+
+def test_simhash_neardup_pairs(spark):
+    """Banded Hamming join finds planted near-dups exactly (pigeonhole:
+    hamming<=3 pairs always share a 16-bit band) and nothing else that
+    brute force wouldn't."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from sparkocr.analysis import simhash64, simhash_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    rows = [
+        (0, base),
+        (1, base.replace("river", "creek")),          # near-dup of 0
+        (2, base.replace("quick", "rapid").replace("dog", "hound")),
+        (3, "completely different content about spark catalyst planning "
+            "optimizers shuffles partitions and executors " * 4),
+        (4, base),                                    # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_neardup_pairs(df, "doc_id", max_hamming=3).collect()}
+    # brute-force reference over the same simhash values
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(df, "doc_id").collect()}
+    exp = {
+        (i, j): bin((sh[i] ^ sh[j]) & (2**64 - 1)).count("1")
+        for i, j in itertools.combinations(sorted(sh), 2)
+        if bin((sh[i] ^ sh[j]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert got == exp
+    assert (0, 4) in got and got[(0, 4)] == 0  # exact dup found at distance 0
