@@ -76,6 +76,10 @@ class EngineConfig:
     min_score: float = MIN_SCORE_DEFAULT
     punct_min_score: float = PUNCT_MIN_SCORE_DEFAULT
     max_rec_lines: int = REC_MAX_LINES
+    # optional character vocabulary (the keys file, rec.rs:55-59):
+    # None = unrestricted; otherwise out-of-vocabulary characters decode
+    # as CTC blanks (see sparkocr.keys). Sorted tuple for hash stability.
+    dictionary: tuple = None
 
     def with_overrides(self, **kw) -> "EngineConfig":
         d = self.__dict__.copy()
@@ -98,6 +102,16 @@ class EngineConfig:
 
     def with_punct_min_score(self, v: float) -> "EngineConfig":
         return self.with_overrides(punct_min_score=v)
+
+    def with_dictionary(self, keys) -> "EngineConfig":
+        """Restrict recognition to a character vocabulary (keys-file
+        parity, Rec::from_bytes_with_keys rec.rs:102-126). ``keys`` is
+        any iterable of characters (or None to clear)."""
+        if keys is None:
+            return self.with_overrides(dictionary=None)
+        from .keys import normalize_keys
+
+        return self.with_overrides(dictionary=normalize_keys(keys))
 
 
 # the configuration the flagship pipeline runs with (CLI parity: border 12,

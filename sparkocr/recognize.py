@@ -60,6 +60,28 @@ def canonicalize(text: str, max_lines: int = 48) -> str:
     return t
 
 
+# vocab LUTs memoized by dictionary identity (hashing an 18k-char tuple
+# per decode call would cost more than the lookup itself); the config
+# object keeps the tuple alive, so id-keying is safe for its lifetime
+_VOCAB_CACHE: dict[int, tuple] = {}
+
+
+def _in_vocab(cp: np.ndarray, dictionary: tuple) -> np.ndarray:
+    entry = _VOCAB_CACHE.get(id(dictionary))
+    if entry is None or entry[0] is not dictionary:
+        from .keys import vocab_lut
+
+        lut, astral = vocab_lut(dictionary)
+        entry = (dictionary, lut,
+                 np.array(sorted(astral), dtype=np.uint32) if astral else None)
+        _VOCAB_CACHE[id(dictionary)] = entry
+    _, lut, astral_arr = entry
+    ok = np.take(lut, cp.astype(np.intp, copy=False), mode="clip")
+    if astral_arr is not None:
+        ok = ok | np.isin(cp, astral_arr)
+    return ok
+
+
 def decode(
     cp: np.ndarray,
     scores: np.ndarray,
@@ -79,6 +101,11 @@ def decode(
     n = len(cp)
     if n == 0:
         return cp, scores
+    if config.dictionary is not None:
+        # out-of-vocabulary characters act as CTC blanks (the argmax can
+        # only land inside the keys table, rec.rs:16; an unrecognizable
+        # glyph yields blank): emit nothing AND reset last_char
+        blank = blank | ~_in_vocab(cp, config.dictionary)
     punct = punct_mask(cp)
     thr = np.where(punct, np.float32(config.punct_min_score),
                    np.float32(config.min_score))

@@ -104,3 +104,25 @@ def test_no_row_at_a_time_python_udfs_in_package(spark):
         if "F.udf(" in src or "functions.udf(" in src or "@udf" in src:
             offenders.append(p.name)
     assert not offenders, offenders
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """Bucketed+sorted tables co-locate join keys at WRITE time — the
+    repeated-join amortization story for 100 TB fact tables: the join
+    plan has no Exchange on either side."""
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{wh}'")
+    a = spark.range(0, 10000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 10000).selectExpr("id AS k", "id * 3 AS vb")
+    for name, df in (("bdemo.ta", a), ("bdemo.tb", b)):
+        (df.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+         .format("parquet").saveAsTable(name))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bdemo.ta").join(spark.table("bdemo.tb"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout replaces the shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -71,8 +71,11 @@ _box = st.builds(
 def test_merge_reaches_fixpoint_and_shrinks(boxes, thr):
     merged = merge_overlapping_boxes(boxes, thr)
     assert len(merged) <= len(boxes)
-    # fixpoint: merging again changes nothing
-    assert merge_overlapping_boxes(merged, thr) == merged
+    # NOT asserted: idempotence. The reference algorithm (det.rs:388-424,
+    # replicated verbatim) is not a true fixpoint: a box finalized into
+    # `result` cannot absorb a union that grows later (hypothesis found
+    # the 3-box counterexample). Re-merging may only ever shrink further:
+    assert len(merge_overlapping_boxes(merged, thr)) <= len(merged)
     # every input box is contained in some output box
     for b in boxes:
         assert any(

@@ -200,3 +200,50 @@ def test_vectorized_decode_matches_literal_port():
         vec, _ = decode(cp, scores, blank)
         vec_text = vec.tobytes().decode("utf-32-le")
         assert vec_text == _decode_rust_literal(cp, scores, blank), repr(s)
+
+
+class TestDictionary:
+    """Keys-file vocabulary restriction (sparkocr.keys; rec.rs:55-59)."""
+
+    def test_out_of_vocab_decodes_as_blank(self):
+        from sparkocr.config import DEFAULT_CONFIG
+        from sparkocr.recognize import predict_str
+
+        ascii_keys = [chr(c) for c in range(0x20, 0x7F)] + ["\n"]
+        cfg = DEFAULT_CONFIG.with_dictionary(ascii_keys)
+        assert predict_str("abc 轻舟 def", cfg) == "abc  def"
+        # unrestricted keeps the CJK
+        assert "轻舟" in predict_str("abc 轻舟 def", DEFAULT_CONFIG)
+
+    def test_blank_resets_last_char(self):
+        from sparkocr.config import DEFAULT_CONFIG
+        from sparkocr.recognize import predict_str
+
+        cfg = DEFAULT_CONFIG.with_dictionary(
+            [chr(c) for c in range(0x20, 0x7F)])
+        # 'a今a': the OOV char is a blank, so the second 'a' is NOT a
+        # repeat (last_char was reset) and must survive
+        assert predict_str("a今a", cfg) == "aa"
+        # without the dictionary the repeat rule also keeps both a's
+        # (今 is a word char in between) — sanity
+        assert predict_str("aa", cfg) == "a"
+
+    def test_keys_loaders(self, tmp_path):
+        from sparkocr.keys import load_keys_bytes, load_keys_file
+
+        data = "a\r\nb\n\n轻\n".encode()
+        assert load_keys_bytes(data) == ("a", "b", "轻")
+        p = tmp_path / "keys.txt"
+        p.write_bytes(data)
+        assert load_keys_file(str(p)) == ("a", "b", "轻")
+
+    def test_astral_vocab(self):
+        from sparkocr.config import DEFAULT_CONFIG
+        from sparkocr.recognize import predict_str
+
+        cfg = DEFAULT_CONFIG.with_dictionary(
+            [chr(c) for c in range(0x20, 0x7F)] + ["😀"])
+        # astral char in vocab still fails the score threshold (emoji
+        # scores SCORE_OTHER) — membership alone must not crash and the
+        # ascii text survives
+        assert predict_str("ok 😀 ok", cfg) == "ok  ok"
