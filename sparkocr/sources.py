@@ -74,6 +74,60 @@ def write_json_blocks(result: DataFrame, location: str) -> None:
     )
 
 
+def debug_html(text: str, blocks) -> str:
+    """S7 parity (examples/simple.rs:96-129 draws hollow rects on the
+    image): render one turn's text with its detected block spans
+    highlighted — the text-native visualization. ``blocks`` is the
+    engine's block array (rows or dicts with start/end/block_type)."""
+    import html as _html
+
+    palette = {"prose": "#cde7ff", "code": "#ffe7cd", "table": "#d8f5d0",
+               "body": "#cde7ff"}
+    spans = sorted(
+        ((int(b["start"]), int(b["end"]), str(b["block_type"])) for b in blocks),
+    )
+    out, pos = ["<pre>"], 0
+    for s, e, t in spans:
+        s, e = max(s, pos), max(e, pos)
+        out.append(_html.escape(text[pos:s]))
+        color = palette.get(t, "#eeeeee")
+        out.append(
+            f'<mark style="background:{color}" title="{_html.escape(t)}">'
+            f"{_html.escape(text[s:e])}</mark>"
+        )
+        pos = e
+    out.append(_html.escape(text[pos:]))
+    out.append("</pre>")
+    return "".join(out)
+
+
+def write_debug_html(result: DataFrame, location: str,
+                     text_df: DataFrame | None = None, limit: int = 200) -> None:
+    """Write an HTML debug page of the first ``limit`` turns with their
+    detected spans highlighted (driver-side render — a debug sink, not a
+    data path)."""
+    rows = (
+        ordered(result).select("conv_id", "turn_idx", "blocks", "source_text")
+        if "source_text" in result.columns else
+        ordered(result).select("conv_id", "turn_idx", "blocks")
+    ).limit(limit).collect()
+    texts = {}
+    if text_df is not None:
+        texts = {(r["conv_id"], r["turn_idx"]): r["text"]
+                 for r in text_df.select("conv_id", "turn_idx", "text").collect()}
+    parts = ["<!doctype html><meta charset='utf-8'><title>sparkocr debug</title>"]
+    for r in rows:
+        text = r["source_text"] if "source_text" in r.__fields__ else \
+            texts.get((r["conv_id"], r["turn_idx"]), "")
+        parts.append(f"<h3>{r['conv_id']} · turn {r['turn_idx']}</h3>")
+        parts.append(debug_html(text, [b.asDict() for b in r["blocks"]]))
+    import os
+
+    os.makedirs(location, exist_ok=True)
+    with open(os.path.join(location, "debug.html"), "w", encoding="utf-8") as f:
+        f.write("\n".join(parts))
+
+
 def write_text(result: DataFrame, location: str) -> None:
     """Text sink (S5 parity, main.rs:199-208): full_text per turn in
     stable order."""

@@ -89,3 +89,19 @@ def test_sinks_round_trip(spark, skewed, tmp_path):
     assert {"conv_id", "turn_idx", "blocks"} <= set(rec)
 
     assert iceberg_available(spark) in (True, False)  # no jar here: False
+
+
+def test_debug_html_sink(spark, skewed, tmp_path):
+    from sparkocr.engine import SparkOcrEngine
+    from sparkocr.sources import debug_html, write_debug_html
+
+    src = skewed.where(F.col("conv_id") == "minnow-0")
+    out = SparkOcrEngine(spark).extract(src)
+    loc = str(tmp_path / "dbg")
+    write_debug_html(out, loc, text_df=src, limit=5)
+    html = open(f"{loc}/debug.html", encoding="utf-8").read()
+    assert "<mark" in html and "minnow-0" in html
+    # unit: spans wrap exactly the original slice, escaped
+    h = debug_html("a<b> C D </b>e", [
+        {"start": 4, "end": 8, "block_type": "prose"}])
+    assert "&lt;b&gt;" in h and "<mark" in h and " C D" in h
