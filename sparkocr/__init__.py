@@ -7,11 +7,25 @@ content regions by text/link density on a character grid, recognition
 decodes each region through a CTC-style threshold cascade. All per-turn
 compute runs inside vectorized pandas/Arrow UDFs; everything relational
 stays in Catalyst-optimized DataFrame ops.
+
+Public surface map (reference analog in parens):
+
+- single-turn core:   :func:`extract_turn` (process_ocr), Det/Rec-level
+  :func:`find_text_boxes` / :func:`predict_str`
+- Spark engine:       :class:`sparkocr.engine.SparkOcrEngine` — the 7
+  verbs (OcrRequest enum) as DataFrame functions
+- layout parser:      :mod:`sparkocr.layout` (embedded documents)
+- scale machinery:    :mod:`sparkocr.checkpoint` (resume),
+  :mod:`sparkocr.streaming`, :mod:`sparkocr.sources`
+- training-data ops:  :mod:`sparkocr.analysis` (dedup family),
+  :mod:`sparkocr.ann` (similarity), :mod:`sparkocr.relational`
+  (as-of / interval joins), :mod:`sparkocr.multimodal`
 """
 
 from .config import DEFAULT_CONFIG, FLAGSHIP_CONFIG, EngineConfig
 from .detect import Box, TurnGrid, crop_box, find_text_boxes, merge_overlapping_boxes
-from .pipeline import Block, TurnResult, extract_turn
+from .keys import load_keys_bytes, load_keys_file
+from .pipeline import Block, TurnResult, extract_turn, extract_turn_auto
 from .recognize import (
     canonicalize,
     classify_block,
@@ -31,9 +45,12 @@ __all__ = [
     "crop_box",
     "find_text_boxes",
     "merge_overlapping_boxes",
+    "load_keys_bytes",
+    "load_keys_file",
     "Block",
     "TurnResult",
     "extract_turn",
+    "extract_turn_auto",
     "canonicalize",
     "classify_block",
     "predict_char_score",

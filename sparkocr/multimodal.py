@@ -147,7 +147,7 @@ def image_features(
                     ).astype(np.float32)
                     feats.append(v.tolist())
                     errs.append(None)
-                except (NotImplementedError, Exception) as e:  # noqa: BLE001
+                except Exception as e:  # noqa: BLE001 - incl. NotImplementedError
                     feats.append(None)
                     errs.append(f"{type(e).__name__}: {e}"[:200])
             out = pdf[keep].copy()
