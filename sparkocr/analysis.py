@@ -144,12 +144,13 @@ def ngram_jaccard_pairs(
     base = df.select(F.col(key_col).alias("doc"), grams.alias("grams")).where(
         F.size(F.col("grams")) > 0
     )
-    # the posting list feeds four consumers (hot-gram agg, the anti-join,
-    # and BOTH sides of the self-join); without persistence Catalyst
-    # re-executes the tokenize+shingle explode for each — at any scale,
-    # materializing postings once is the cheaper plan (disk-spillable)
+    # the (filtered) posting list feeds three consumers (sizes + both
+    # self-join sides); without persistence Catalyst re-executes the
+    # tokenize+shingle explode for each — materializing it once is the
+    # cheaper plan at any scale (disk-spillable). Only the FINAL posting
+    # is persisted: caching the pre-filter list too would pin an
+    # unreachable copy in executor memory for the application lifetime.
     posting = base.select("doc", F.explode("grams").alias("gram"))
-    posting = posting.persist()
     if max_df is not None:
         # anti-join against the (small) hot-gram list: a partial-agg
         # count + AQE-sized join, cheaper at scale than a window over
@@ -161,6 +162,8 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         posting = posting.join(hot, "gram", "left_anti").persist()
+    else:
+        posting = posting.persist()
     sizes = posting.groupBy("doc").agg(F.count("*").alias("n_grams"))
     common = (
         posting.alias("a")

@@ -39,7 +39,11 @@ def with_cosine(df: DataFrame, query_vec: list[float],
     """Adds ``cosine`` similarity to a literal query vector (computed in
     double, rounded to 4 — the oracle-stable contract)."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    denom = _norm(F.col(vec_col)) * _norm(q)
+    # zero/degenerate vectors would yield 0/0 = NaN, and Spark orders NaN
+    # ABOVE every real double — a padding row would win every top-k.
+    # Null instead: nulls sort last under desc and fail >= thresholds.
+    cos = F.when(denom > 0, _dot(F.col(vec_col), q) / denom)
     return df.withColumn("cosine", F.round(cos, 4))
 
 
@@ -55,6 +59,7 @@ def cosine_topk(
     full sort shuffle). Deterministic tiebreak on the id."""
     return (
         with_cosine(df, query_vec, vec_col)
+        .where(F.col("cosine").isNotNull())
         .select(id_col, "cosine")
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -93,7 +98,8 @@ def cosine_neardup_pairs(
                        & (F.col("id_a") < F.col("id_b")))
     else:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    pair_denom = _norm(F.col("va")) * _norm(F.col("vb"))
+    cos = F.when(pair_denom > 0, _dot(F.col("va"), F.col("vb")) / pair_denom)
     return (
         pairs.withColumn("cosine", F.round(cos, 4))
         .where(F.col("cosine") >= threshold)
@@ -147,8 +153,14 @@ def lsh_topk(
             qbucket |= 1 << j
     candidates = {qbucket}
     if probe_hamming >= 1:
-        for j in range(n_planes):
-            candidates.add(qbucket ^ (1 << j))
+        import itertools
+
+        for r in range(1, min(probe_hamming, n_planes) + 1):
+            for bits in itertools.combinations(range(n_planes), r):
+                flip = 0
+                for j in bits:
+                    flip |= 1 << j
+                candidates.add(qbucket ^ flip)
     bucketed = with_lsh_bucket(df, dim, n_planes, vec_col)
     pruned = bucketed.where(F.col("bucket").isin(*[int(c) for c in candidates]))
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)

@@ -131,10 +131,17 @@ def run_checkpointed(
         )
         wall = time.time() - t0
         # per-bucket extraction-quality metrics for the ledger, computed
-        # from the committed output (one scan of the fresh partitions)
-        stats = {
+        # from the committed output (one scan of the fresh partitions).
+        # A batch whose buckets held zero rows writes no parquet files;
+        # reading the (possibly still empty) output dir then fails on
+        # schema inference — such buckets simply get zero-count entries.
+        try:
+            committed = spark.read.parquet(data_dir)
+        except Exception:
+            committed = None
+        stats = {} if committed is None else {
             int(r["bucket"]): r
-            for r in spark.read.parquet(data_dir)
+            for r in committed
             .where(F.col("bucket").isin([int(b) for b in batch]))
             .groupBy("bucket")
             .agg(

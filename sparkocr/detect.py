@@ -62,9 +62,13 @@ class TurnGrid:
     __slots__ = ("text", "lines", "line_offsets", "cp", "mk", "grid_w", "grid_h")
 
     def __init__(self, text: str):
-        # \r and \f are line separators too; same-length replacement keeps
-        # char offsets identical to the original text
-        self.text = text.replace("\r", "\n").replace("\f", "\n")
+        # \r and \f are line separators too; same-length replacements keep
+        # char offsets identical to the original text. "\r\n" maps to
+        # " \n" (trailing space, trimmed by the box bounds) — mapping it
+        # to "\n\n" would insert a phantom blank line per CRLF break and
+        # silently defeat vertical block merging for CRLF documents.
+        self.text = (text.replace("\r\n", " \n")
+                     .replace("\r", "\n").replace("\f", "\n"))
         self.lines = self.text.split("\n")
         offs, pos = [], 0
         for ln in self.lines:

@@ -127,7 +127,13 @@ class SparkOcrEngine:
         keep = [c for c in passthrough if c in df.columns]
         if route_documents and "role" not in df.columns:
             raise ValueError("route_documents requires a 'role' column")
-        src = df.select(*keep, F.col(text_col).alias("__text__"))
+        # routing needs the role even when the caller's passthrough
+        # drops it — carry it under a private name so the output schema
+        # still honors `passthrough` exactly
+        route_cols = (
+            [F.col("role").alias("__role__")] if route_documents else []
+        )
+        src = df.select(*keep, *route_cols, F.col(text_col).alias("__text__"))
         if repartition:
             src = src.repartition(repartition)
 
@@ -144,7 +150,7 @@ class SparkOcrEngine:
                 nb_col = np.zeros(n, dtype=np.int32)
                 ec_col, em_col = [None] * n, [None] * n
                 texts = pdf["__text__"].to_numpy(dtype=object)
-                roles = (pdf["role"].to_numpy(dtype=object)
+                roles = (pdf["__role__"].to_numpy(dtype=object)
                          if route_documents else None)
                 for i in range(n):
                     if route_documents:
@@ -245,16 +251,21 @@ class SparkOcrEngine:
                     confs.append(None)
                     btypes.append(None)
                     continue
-                canon = canonicalize(text, cfg.max_rec_lines)
-                cp, scores, blank = char_scores(canon)
-                d_cp, d_sc = decode(cp, scores, blank, cfg)
-                texts.append(d_cp.tobytes().decode("utf-32-le"))
-                confs.append(
-                    float(np.float32(d_sc.sum(dtype=np.float32))
-                          / np.float32(len(d_sc)))
-                    if len(d_sc) else 0.0
-                )
-                btypes.append(classify_block(canon))
+                try:
+                    canon = canonicalize(text, cfg.max_rec_lines)
+                    cp, scores, blank = char_scores(canon)
+                    d_cp, d_sc = decode(cp, scores, blank, cfg)
+                    texts.append(d_cp.tobytes().decode("utf-32-le"))
+                    confs.append(
+                        float(np.float32(d_sc.sum(dtype=np.float32))
+                              / np.float32(len(d_sc)))
+                        if len(d_sc) else 0.0
+                    )
+                    btypes.append(classify_block(canon))
+                except Exception:  # poison row must not kill the task
+                    texts.append(None)
+                    confs.append(None)
+                    btypes.append(None)
             return pd.DataFrame(
                 {"text": texts, "confidence": confs, "block_type": btypes}
             )

@@ -135,8 +135,14 @@ def parse_document(text: str | None,
         pn = page_numbers[page_no]
         if pn is not None:
             _, line, s, e = pn
-            out.append(Region(page_no, (pos + 1) if rows else 0,
-                              "page_number", line, s, e))
+            # skip when the detector already surfaced this line as a
+            # region (wide decorated page numbers like "--- 42 ---" pass
+            # the min-width filter and are classified above) — emitting
+            # the tail check too would duplicate the region
+            covered = any(rs < e and s < re_ for _, rs, re_ in rows)
+            if not covered:
+                out.append(Region(page_no, (pos + 1) if rows else 0,
+                                  "page_number", line, s, e))
     return out
 
 

@@ -39,7 +39,11 @@ def _entity_sub(m: re.Match) -> str:
     g = m.group(1)
     if g.startswith("#"):
         code = int(g[1:])
-        return chr(code) if code <= 0x10FFFF else m.group(0)
+        # surrogates (D800-DFFF) are not characters: chr() accepts them
+        # but any later UTF-32/UTF-8 encode raises — treat like >10FFFF
+        if code > 0x10FFFF or 0xD800 <= code <= 0xDFFF:
+            return m.group(0)
+        return chr(code)
     return _ENTITY_MAP[g]
 
 

@@ -36,14 +36,20 @@ def asof_join(
     with ``right.on <= left.on`` and the same ``by`` key (null when no
     prior right row exists)."""
     rc = {c: f"{c}{suffix}" for c in right_cols}
+    # the carried payload is a STRUCT of the right row's columns: the
+    # running `last(..., ignorenulls)` must skip only "no right row
+    # here", never "right row whose value happens to be null" — a struct
+    # is non-null whenever the right row exists, so the latest right ROW
+    # wins even when its payload columns are null (DuckDB/pandas asof
+    # semantics)
+    rv = F.struct(*[F.col(c).alias(c) for c in right_cols])
     r = right.select(
-        F.col(by), F.col(on), F.lit(0).alias("__side"),
-        *[F.col(c).alias(rc[c]) for c in right_cols],
+        F.col(by), F.col(on), F.lit(0).alias("__side"), rv.alias("__rv"),
         *( [F.col(tiebreak).alias("__tb")] if tiebreak else [F.lit(0).alias("__tb")] ),
     )
     l = left.select(
         "*", F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(rc[c]) for c in right_cols],
+        F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
         (F.col(tiebreak) if tiebreak and tiebreak in left.columns else F.lit(0)).alias("__tb"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
@@ -54,12 +60,13 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    u = u.withColumn(
+        "__rv",
+        F.last(F.when(F.col("__side") == 0, F.col("__rv")), ignorenulls=True).over(w),
+    )
     for c in right_cols:
-        u = u.withColumn(
-            rc[c],
-            F.last(F.when(F.col("__side") == 0, F.col(rc[c])), ignorenulls=True).over(w),
-        )
-    return u.where(F.col("__side") == 1).drop("__side", "__tb")
+        u = u.withColumn(rc[c], F.col("__rv")[c])
+    return u.where(F.col("__side") == 1).drop("__side", "__tb", "__rv")
 
 
 def interval_overlap_join(

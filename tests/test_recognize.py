@@ -247,3 +247,15 @@ class TestDictionary:
         # scores SCORE_OTHER) — membership alone must not crash and the
         # ascii text survives
         assert predict_str("ok 😀 ok", cfg) == "ok  ok"
+
+
+def test_surrogate_entity_is_left_verbatim():
+    """&#55296; decodes to a lone surrogate which crashes any utf-32
+    encode — must be left as literal text (review finding)."""
+    from sparkocr.pipeline import extract_turn
+    from sparkocr.recognize import canonicalize
+
+    assert "\ud800" not in canonicalize("x &#55296; y")
+    r = extract_turn("A good line of prose here &#55296; indeed.")
+    assert r.error_code is None
+    assert r.blocks

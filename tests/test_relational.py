@@ -63,3 +63,15 @@ def test_interval_join_no_cross_product_in_plan(spark):
     plan = interval_overlap_join(df, "k")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_latest_right_row_with_null_value(spark):
+    """A null payload on the latest right row must WIN (asof attaches
+    the row, not the latest non-null value) — review finding."""
+    ldf = spark.createDataFrame([(1, 0, _ts(10))],
+                                "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(8, 0, _ts(1), 5.0), (9, 0, _ts(2), None)],
+        "event_id long, user_id long, ts timestamp, value double")
+    [row] = asof_join(ldf, rdf, right_cols=("value",), tiebreak="event_id").collect()
+    assert row["value_asof"] is None

@@ -38,3 +38,19 @@ def test_spark_route_documents(spark):
     assert out[0]["n_blocks"] > 0
     assert all(b["block_type"] in ("body", "table") for b in out[0]["blocks"])
     assert out[1]["full_text"] == "A plain prose turn here."
+
+
+def test_route_documents_with_custom_passthrough(spark):
+    """role may be dropped from passthrough; routing must still work
+    (review finding: the UDF previously crashed with KeyError)."""
+    from sparkocr.engine import SparkOcrEngine
+
+    df = spark.createDataFrame(
+        [("c", 0, "tool", DOC)],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = SparkOcrEngine(spark).extract(
+        df, passthrough=("conv_id",), route_documents=True)
+    [row] = out.collect()
+    assert "role" not in out.columns
+    assert row["n_blocks"] > 0
