@@ -21,6 +21,35 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+_SHIPPED: set = set()
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Ship sparkocr to executor python workers via addPyFile — the
+    driver may have started its JVM from any cwd before importing this
+    module, in which case workers cannot resolve `import sparkocr` for
+    the pandas-UDF closures (pickled by reference). Safe to call per
+    query; ships once per SparkContext."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"sparkocr_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(here, "sparkocr")
+            for fn in sorted(os.listdir(pkg)):
+                if fn.endswith(".py"):
+                    z.write(os.path.join(pkg, fn), f"sparkocr/{fn}")
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -46,6 +75,7 @@ def _as_transcripts(docs: DataFrame) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full detect→recognize extraction over sf0.001, ordered
     output with per-turn blocks + full_text."""
+    _ensure_pkg(spark)
     from sparkocr.engine import SparkOcrEngine, ordered
 
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
@@ -440,7 +470,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
         return lsh_topk(emb, list(qv), dim=len(qv), k=10)
 
-    return {
+    def _wrap(fn):
+        def g(spark, sf):
+            _ensure_pkg(spark)
+            return fn(spark, sf)
+
+        return g
+
+    return {k: _wrap(v) for k, v in {
         "window_rank_events": q_window_rank_events,
         "lag_delta_events": q_lag_delta_events,
         "minmax_bbox_lineitem": q_minmax_bbox_lineitem,
@@ -483,7 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": q_orders_by_month,
         "media_image_features": q_media_image_features,
         "media_video_frames": q_media_video_frames,
-    }
+    }.items()}
 
 
 _INTERVAL_MERGE_SQL = """
@@ -659,6 +696,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "asof_join_events": """
+            -- NOTE: DuckDB's ASOF pick among right rows tied on
+            -- (user_id, ts) is unspecified; the Spark side tiebreaks on
+            -- greatest event_id. The events data has no such ties
+            -- (verified at sf0.01/sf0.1), so the comparison is
+            -- deterministic here.
             SELECT p.event_id, p.user_id, round(c.value, 4) AS value_asof
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c

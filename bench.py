@@ -179,7 +179,7 @@ def _run_cohort(n_execs: int = 8, n_small: int = 2, cores_per: int = 1,
 
     with tempfile.TemporaryDirectory() as td:
         go = os.path.join(td, "go")
-        procs, readies = [], []
+        procs, readies, err_paths = [], [], []
         for shard in range(n_execs):
             ready = os.path.join(td, f"ready{shard}")
             readies.append(ready)
@@ -189,8 +189,14 @@ def _run_cohort(n_execs: int = 8, n_small: int = 2, cores_per: int = 1,
             if os.path.exists("/usr/bin/taskset"):
                 lo = shard * cores_per
                 cmd = ["taskset", "-c", f"{lo}-{lo + cores_per - 1}"] + cmd
+            # stderr to a FILE, not a pipe: Spark error stack traces can
+            # exceed the 64KB pipe buffer and an undrained pipe would
+            # block the JVM mid-pass, hanging the whole cohort barrier
+            err_path = os.path.join(td, f"stderr{shard}")
+            err_paths.append(err_path)
             procs.append(subprocess.Popen(
-                cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+                cmd, stdout=subprocess.PIPE,
+                stderr=open(err_path, "w"), text=True))
         for pno in range(len(plan)):
             t0 = time.time()
             while not all(os.path.exists(f"{r}.{pno}") for r in readies):
@@ -205,11 +211,16 @@ def _run_cohort(n_execs: int = 8, n_small: int = 2, cores_per: int = 1,
                 f.write("go")
         n_by_shard: dict[int, int] = {}
         dt: dict[str, dict[int, float]] = {}  # "A3" -> {shard: dt}
-        for p in procs:
-            out_s, err_s = p.communicate(timeout=1800)
+        for i, p in enumerate(procs):
+            out_s, _ = p.communicate(timeout=1800)
             line = next((l for l in out_s.splitlines() if l.startswith("SCALING")), None)
             if p.returncode != 0 or line is None:
-                _log(f"scaling executor failed:\n{err_s[-1500:]}")
+                try:
+                    with open(err_paths[i]) as ef:
+                        tail = ef.read()[-1500:]
+                except OSError:
+                    tail = "<stderr unavailable>"
+                _log(f"scaling executor failed:\n{tail}")
                 return None
             parts = line.split()
             shard = int(parts[1])
@@ -259,15 +270,18 @@ def run_scaling() -> dict:
         "scaling_corpus_turns": r["turns_b"],
         "scaling_executor_cores": w,
         "scaling_n_executors": [2, 8],
-        "turns_per_sec_1exec": round(tps_n, 1),
-        "turns_per_sec_4exec": round(tps_4n, 1),
+        "turns_per_sec_2exec": round(tps_n, 1),
+        "turns_per_sec_8exec": round(tps_4n, 1),
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_wall": round(eff_wall, 3),
     }
 
 
 def write_baseline_md(result: dict) -> None:
-    os.makedirs("BENCH", exist_ok=True)
+    # anchor next to this file — running bench.py from another cwd must
+    # not scatter BENCH/ directories around the filesystem
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
     lines = [
         "# BENCH baseline — measured in-sandbox",
         "",
@@ -295,16 +309,16 @@ def write_baseline_md(result: dict) -> None:
             f"- corpus: {result['scaling_corpus_turns']} turns "
             "(documents replicated, deterministic; salted 8-way shards)",
             f"- N = 2 executors ({2 * result['scaling_executor_cores']} CPUs):  "
-            f"**{result['turns_per_sec_1exec']} turns/sec**",
+            f"**{result['turns_per_sec_2exec']} turns/sec**",
             f"- 4N = 8 executors ({8 * result['scaling_executor_cores']} CPUs): "
-            f"**{result['turns_per_sec_4exec']} turns/sec**",
+            f"**{result['turns_per_sec_8exec']} turns/sec**",
             f"- scaling efficiency (tps_4N/tps_N)/4 = "
             f"**{result['scaling_efficiency']}** (target ≥ 0.8)",
             "",
             "Wider-executor points and the single-box memory-bandwidth "
             "ceiling they hit are documented in `BENCH/SCALING_NOTES.md`.",
         ]
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
@@ -320,7 +334,10 @@ def main() -> None:
         "cpus": CPUS,
     }
     if RUN_SCALING:
-        result.update(run_scaling())
+        try:
+            result.update(run_scaling())
+        except Exception as e:  # headline results must still reach stdout
+            _log(f"scaling phase failed: {e}")
     try:
         write_baseline_md(result)
     except Exception as e:

@@ -41,7 +41,10 @@ def _cell(v) -> str:
     if isinstance(v, float):
         if v != v:
             return "nan"
-        return f"{v:.6g}"
+        # 12 significant digits: oracle values are pre-rounded (2-6 dp)
+        # but can reach ~1e8, where 6 sig digits would mask real
+        # mismatches of up to +/-50 — keep the gate strict
+        return f"{v:.12g}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)

@@ -25,16 +25,17 @@ from pyspark.sql import functions as F
 
 
 def build_session(app: str) -> SparkSession:
-    # no .master() here — spark-submit / cluster manager decides
-    return (
-        SparkSession.builder.appName(app)
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
+    # no .master() here — spark-submit / cluster manager decides. Engine
+    # tuning comes from the ONE shared config dict so the cluster path
+    # can never drift from the local/bench/test entry points.
+    from sparkocr.session import _ENGINE_CONF
+
+    b = SparkSession.builder.appName(app)
+    for k, v in _ENGINE_CONF.items():
+        if k == "spark.driver.memory":
+            continue  # driver memory is spark-submit's decision
+        b = b.config(k, v)
+    return b.getOrCreate()
 
 
 def main() -> int:

@@ -141,8 +141,13 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    base = df.select(F.col(key_col).alias("doc"), grams.alias("grams")).where(
-        F.size(F.col("grams")) > 0
+    # documents shorter than n tokens have NO n-grams (the sequence
+    # expression would otherwise emit one truncated shingle at index 0,
+    # silently diverging from the pos+1-join oracle SQL)
+    base = (
+        df.where(F.size(toks) >= n)
+        .select(F.col(key_col).alias("doc"), grams.alias("grams"))
+        .where(F.size(F.col("grams")) > 0)
     )
     # the (filtered) posting list feeds three consumers (sizes + both
     # self-join sides); without persistence Catalyst re-executes the
@@ -206,8 +211,10 @@ def minhash_signatures(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n_shingle)),
         )
     )
+    # sub-n_shingle-token docs have no shingles (see ngram_jaccard_pairs)
     posting = (
-        df.select(F.col(key_col).alias("doc"), F.explode(grams).alias("gram"))
+        df.where(F.size(toks) >= n_shingle)
+        .select(F.col(key_col).alias("doc"), F.explode(grams).alias("gram"))
     )
     hashed = posting.select(
         "doc",

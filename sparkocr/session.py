@@ -10,6 +10,19 @@ import os
 
 from pyspark.sql import SparkSession
 
+# executor python workers inherit the driver's ENV, not its sys.path —
+# a driver started outside the repo (cwd elsewhere, path patched in
+# code) would produce workers that cannot import sparkocr inside the
+# UDFs. Exporting the package root through PYTHONPATH before the JVM
+# starts makes the session location-independent; on a real cluster the
+# --py-files zip plays this role (scripts/run_extract.py).
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _PKG_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _PKG_ROOT + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH") else _PKG_ROOT
+    )
+
 # Tuned for correctness-at-scale first:
 # - Arrow transfer on (the channel between JVM and the Python "worker
 #   thread" that owns the models, O5 analog)

@@ -173,3 +173,21 @@ def test_simhash_neardup_pairs(spark):
     }
     assert got == exp
     assert (0, 4) in got and got[(0, 4)] == 0  # exact dup found at distance 0
+
+
+def test_short_docs_have_no_shingles(spark):
+    """Documents shorter than n tokens must produce NO n-grams — a
+    truncated shingle would make 1-token twins jaccard-1.0 near-dups
+    and diverge from the pos+1-join oracle (review finding)."""
+    from pyspark.sql import functions as F
+
+    from sparkocr.analysis import minhash_signatures, ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "hello"), (3, "a proper longer document with words"),
+         (4, "a proper longer document with words")],
+        "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, "doc_id", n=2, threshold=0.2).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(3, 4)}
+    sigs = minhash_signatures(df, "doc_id", n_shingle=2).collect()
+    assert {r["doc"] for r in sigs} == {3, 4}
