@@ -409,6 +409,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("media_id", "frame_idx",
                           F.length("frame").alias("frame_bytes"))
 
+    def q_quality_filter_documents(spark, sf):
+        # the pretraining quality gate: keep docs inside the stopword-
+        # ratio band with enough tokens (thresholds tuned to testdata)
+        return (
+            with_quality(_t(spark, sf, "documents"))
+            .where((F.col("stop_ratio") >= 0.05) & (F.col("stop_ratio") <= 0.6)
+                   & (F.col("n_tokens") >= 20))
+            .select("doc_id")
+        )
+
+    def q_clean_corpus_pipeline(spark, sf):
+        # the end-to-end training-corpus shape: extract → drop empty →
+        # quality gate → exact-dedup keepers → per-source counts. One
+        # composed DataFrame plan; every stage is an operator tested
+        # above (rows-only: extraction output feeds the SQL-free side).
+        docs = _t(spark, sf, "documents")
+        eng = SparkOcrEngine(spark)
+        extracted = eng.extract(_as_transcripts(docs))
+        clean = (
+            extracted.where(F.col("n_blocks") > 0)
+            .select("conv_id", "turn_idx",
+                    F.col("full_text").alias("text"))
+        )
+        gated = with_quality(clean).where(F.col("n_tokens") >= 10)
+        keepers = exact_dedup_groups(
+            gated.withColumn("doc_key",
+                             F.concat_ws("#", "conv_id", "turn_idx")),
+            "doc_key",
+        ).select(F.col("keeper").alias("doc_key"))
+        kept = gated.withColumn(
+            "doc_key", F.concat_ws("#", "conv_id", "turn_idx")
+        ).join(keepers, "doc_key", "left_semi")
+        return (
+            kept.groupBy("conv_id")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("n_tokens").alias("n_tokens"))
+        )
+
     # -- extraction pipeline (rows-only: correctness gate = golden tests) ----
 
     def q_extract_documents(spark, sf):
@@ -520,6 +558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": q_orders_by_month,
         "media_image_features": q_media_image_features,
         "media_video_frames": q_media_video_frames,
+        "quality_filter_documents": q_quality_filter_documents,
+        "clean_corpus_pipeline": q_clean_corpus_pipeline,
     }.items()}
 
 
@@ -609,6 +649,18 @@ def oracle_sql() -> dict[str, str]:
                          x -> x IN ({stop_list}))) * 1.0
                          / greatest(len(string_split(text, ' ')), 1), 4) AS stop_ratio
             FROM documents
+        """,
+        "quality_filter_documents": f"""
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     round(len(list_filter(string_split(text, ' '),
+                           x -> x IN ({stop_list}))) * 1.0
+                           / greatest(len(string_split(text, ' ')), 1), 4)
+                         AS stop_ratio
+              FROM documents
+            ) WHERE stop_ratio >= 0.05 AND stop_ratio <= 0.6
+              AND n_tokens >= 20
         """,
         "lang_id_documents": """
             SELECT doc_id,

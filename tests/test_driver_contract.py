@@ -64,7 +64,7 @@ def test_every_query_has_oracle_or_is_pipeline():
         assert any(
             name.startswith(p)
             for p in ("extract", "spans", "minhash", "simhash", "lsh",
-                      "layout", "media", "embed_neardup_lsh")
+                      "layout", "media", "embed_neardup_lsh", "clean")
         ), name
 
 
