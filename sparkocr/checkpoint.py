@@ -33,6 +33,7 @@ import os
 import time
 from dataclasses import asdict, dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,6 +45,7 @@ from .engine import SparkOcrEngine
 @dataclass(frozen=True)
 class RunManifest:
     input_path: str
+    input_schema: str
     config_hash: str
     engine_version: str
     n_buckets: int
@@ -101,7 +103,10 @@ def run_checkpointed(
     kill between batches is equivalent because the ledger write is the
     commit point)."""
     eng = SparkOcrEngine(spark, config)
-    manifest = RunManifest(input_path, _config_hash(config), __version__, n_buckets)
+    # the schema is part of lineage even when input_path is unset: a
+    # resume against structurally different data must refuse, not mix
+    manifest = RunManifest(input_path, df.schema.simpleString(),
+                           _config_hash(config), __version__, n_buckets)
     _check_manifest(out_dir, manifest)
 
     bucket = F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
@@ -121,7 +126,8 @@ def run_checkpointed(
     for batch in batches:
         t0 = time.time()
         part = src.where(F.col("bucket").isin([int(b) for b in batch]))
-        out = eng.extract(part, passthrough=("conv_id", "turn_idx", "role", "bucket"))
+        out = eng.extract(part,
+                          passthrough=(conv_col, "turn_idx", "role", "bucket"))
         # dynamic overwrite: a retried batch replaces its own partitions
         (
             out.write.mode("overwrite")
@@ -137,7 +143,10 @@ def run_checkpointed(
         # schema inference — such buckets simply get zero-count entries.
         try:
             committed = spark.read.parquet(data_dir)
-        except Exception:
+        except AnalysisException:
+            # schema-inference failure = genuinely nothing written yet;
+            # other errors must surface (zero-filled metrics would be a
+            # permanent false record for buckets that DID commit data)
             committed = None
         stats = {} if committed is None else {
             int(r["bucket"]): r
@@ -170,8 +179,14 @@ def run_checkpointed(
                 "batch_wall_s": round(wall, 3),
                 "lineage": asdict(manifest),
             }
-            with open(os.path.join(_ledger_dir(out_dir), f"bucket={int(b)}.json"), "w") as f:
+            # atomic commit marker: write-to-tmp + rename, so a kill
+            # mid-write can never leave a truncated file that
+            # done_buckets() would count as a completed bucket
+            final = os.path.join(_ledger_dir(out_dir), f"bucket={int(b)}.json")
+            tmp = final + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(entry, f)
+            os.replace(tmp, final)
         processed.extend(int(b) for b in batch)
 
     return {
@@ -189,5 +204,10 @@ def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
     killed batch are excluded, so readers only ever see exactly-once
     data."""
     done = sorted(done_buckets(out_dir))
+    if not done:
+        raise FileNotFoundError(
+            f"no committed buckets in {out_dir} yet — the run has not "
+            "completed any batch (ledger is empty)"
+        )
     df = spark.read.parquet(os.path.join(out_dir, "data"))
     return df.where(F.col("bucket").isin([int(b) for b in done]))

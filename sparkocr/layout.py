@@ -220,7 +220,9 @@ def assemble_documents(
     without external inputs. Order inside each payload is pinned by
     array_sort over (key, text) structs — collect_list alone is
     shuffle-order-dependent."""
-    grp = (F.col(group_col) / pages_per_doc).cast("long").alias("pdoc_id")
+    # floor division, not float-divide-then-cast: casting truncates
+    # toward zero for negative ids and loses precision above 2^53
+    grp = F.floor(F.col(group_col) / pages_per_doc).cast("long").alias("pdoc_id")
     return (
         df.select(grp, F.col(group_col).alias("k"), F.col(text_col).alias("t"))
         .groupBy("pdoc_id")

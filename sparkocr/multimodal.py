@@ -177,6 +177,8 @@ def sample_frames(
     One mapInPandas stage that *changes cardinality* — the table-
     generating UDF shape; frame bytes are sliced zero-copy views of the
     Arrow buffer until materialized per row."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
     keep = [c for c in passthrough if c in df.columns]
     src = df.select(*keep, F.col(payload_col).alias("__payload__"))
     out_schema = StructType([df.schema[c] for c in keep] + FRAME_SCHEMA_FIELDS)
@@ -194,6 +196,13 @@ def sample_frames(
                     continue
                 n_frames, frame_len = struct.unpack("<HH", payload[8:12])
                 base = 12
+                # never trust the self-declared frame count: a truncated
+                # blob would otherwise fabricate thousands of empty
+                # frame rows with no error signal
+                if frame_len > 0:
+                    n_frames = min(n_frames, (len(payload) - base) // frame_len)
+                else:
+                    n_frames = 0
                 for j in range(0, n_frames, every_n):
                     for c in keep:
                         rows[c].append(pdf[c].iloc[i])
@@ -218,6 +227,8 @@ def rebalance_by_size(df: DataFrame, payload_col: str = "payload",
     rest). One cheap aggregate sizes the partition count, then a
     round-robin shuffle spreads rows independent of their origin file —
     at 100 TB, replace the aggregate with the table's file statistics."""
+    import math
+
     total = df.select(F.sum(F.length(F.col(payload_col)))).head()[0] or 0
-    n_parts = max(1, int(total / target_bytes))
+    n_parts = max(1, math.ceil(total / target_bytes))
     return df.repartition(n_parts)

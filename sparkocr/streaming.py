@@ -105,12 +105,19 @@ def dedupe_stream(src: DataFrame) -> DataFrame:
                 seen = set(int(x) for x in seen_csv.split(","))
         frames = []
         for pdf in pdfs:
+            # poison-row policy: a null turn_idx (NaN after Arrow->pandas)
+            # has no dedupe identity and must not kill the query — drop it
+            pdf = pdf[pdf["turn_idx"].notna()]
             fresh = pdf[~pdf["turn_idx"].isin(seen)]
             # dedupe within the batch too, keeping first occurrence
             fresh = fresh[~fresh["turn_idx"].duplicated()]
             seen.update(int(t) for t in fresh["turn_idx"])
             frames.append(fresh)
-        state.update((",".join(str(t) for t in sorted(seen)),))
+        # NOTE on state shape: a CSV int-set is fine for conversation-
+        # sized groups; at 10^12 turns swap for a range-compressed
+        # bitmap (turn_idx is dense per conv) and a ProcessingTime
+        # timeout to expire finished conversations.
+        state.update((",".join(str(t) for t in seen),))
         out = pd.concat(frames) if frames else pd.DataFrame()
         if len(out):
             yield out
