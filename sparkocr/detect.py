@@ -32,9 +32,7 @@ from .config import (
     THRESHOLD,
     VERTICAL_CLOSENESS,
 )
-from .textgrid import anchor_mask, codepoints, is_boiler_line, markup_mask
-
-_WS_CODES = (9, 32)  # tab, space
+from .textgrid import anchor_mask, codepoints, is_boiler_line, markup_mask, opaque_mask
 
 
 @dataclass(frozen=True)
@@ -59,7 +57,7 @@ class Box:
 class TurnGrid:
     """Parsed grid for one turn's text: lines, offsets, markup mask."""
 
-    __slots__ = ("text", "lines", "line_offsets", "cp", "mk", "grid_w", "grid_h")
+    __slots__ = ("text", "lines", "line_offsets", "cp", "mk", "opq", "grid_h")
 
     def __init__(self, text: str):
         # \r and \f are line separators too; same-length replacements keep
@@ -76,8 +74,8 @@ class TurnGrid:
             pos += len(ln) + 1
         self.line_offsets = offs
         self.cp = codepoints(self.text)
-        self.mk = markup_mask(self.text)
-        self.grid_w = max((len(ln) for ln in self.lines), default=0)
+        self.opq = opaque_mask(self.text)
+        self.mk = markup_mask(self.text, self.opq)
         self.grid_h = len(self.lines) * LINE_HEIGHT
 
 
@@ -98,7 +96,7 @@ def line_scores(grid: TurnGrid) -> np.ndarray:
     line_id = np.cumsum(nl) - nl  # newline char belongs to the line it ends
     ws = (cp == 9) | (cp == 32) | nl
     vis_ns = ~mk & ~ws
-    an = anchor_mask(grid.text)
+    an = anchor_mask(grid.text, grid.opq)
 
     n_text = np.bincount(line_id[vis_ns], minlength=n_lines).astype(np.float64)
     n_markup = np.bincount(line_id[mk], minlength=n_lines).astype(np.float64)
@@ -205,6 +203,17 @@ def merge_overlapping_boxes(boxes: list[Box], threshold: int) -> list[Box]:
         else:
             result.append(merged)
     return result
+
+
+def box_span(grid: TurnGrid, box: Box) -> tuple[int, int]:
+    """Half-open char span of a box in the original text — the offsets
+    crop_box computes, WITHOUT materializing the crop string (the cheap
+    path for detection-only queries like GetTextRects)."""
+    y0 = box.top // LINE_HEIGHT
+    y1 = box.bottom // LINE_HEIGHT
+    start = grid.line_offsets[y0] + box.left
+    end = grid.line_offsets[y1] + box.right + 1
+    return start, end
 
 
 def crop_box(grid: TurnGrid, box: Box) -> tuple[str, int, int]:

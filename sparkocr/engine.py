@@ -39,10 +39,9 @@ from pyspark.sql.types import (
 )
 
 from .config import DEFAULT_CONFIG, FLAGSHIP_CONFIG, EngineConfig
-from .detect import TurnGrid, crop_box, find_text_boxes
+from .detect import TurnGrid, box_span, crop_box, find_text_boxes
 from .pipeline import extract_turn
-from .recognize import canonicalize, classify_block, decode
-from .textgrid import char_scores
+from .recognize import classify_block, recognize_crop
 
 # ---------------------------------------------------------------------------
 # schemas
@@ -117,9 +116,10 @@ class SparkOcrEngine:
         """ProcessOcr over the whole table: one narrow mapInPandas stage.
 
         ``passthrough`` columns are carried alongside the results;
-        ``repartition`` optionally rebalances input rows first (hash of
-        the row key — NOT conv_id alone, so whale conversations spread
-        across tasks; the salting story for the map stage).
+        ``repartition`` optionally rebalances input rows first
+        (round-robin — deliberately NOT keyed on conv_id, so whale
+        conversations spread across tasks; the salting story for the
+        stateless map stage).
         ``route_documents`` sends tool-role turns carrying multi-page
         document payloads through the layout-region parser instead
         (requires a ``role`` column; see pipeline.extract_turn_auto)."""
@@ -196,15 +196,18 @@ class SparkOcrEngine:
                 if text is None:
                     out.append([])
                     continue
-                grid = TurnGrid(text)
-                rows = []
-                for b in find_text_boxes(grid, cfg):
-                    _, start, end = crop_box(grid, b)
-                    rows.append(
-                        {"left": b.left, "top": b.top, "width": b.width,
-                         "height": b.height, "start": start, "end": end}
-                    )
-                out.append(rows)
+                try:
+                    grid = TurnGrid(text)
+                    rows = []
+                    for b in find_text_boxes(grid, cfg):
+                        start, end = box_span(grid, b)
+                        rows.append(
+                            {"left": b.left, "top": b.top, "width": b.width,
+                             "height": b.height, "start": start, "end": end}
+                        )
+                    out.append(rows)
+                except Exception:  # poison row → no boxes, not a dead task
+                    out.append([])
             return pd.Series(out)
 
         return df.withColumn("boxes", detect_udf(F.col(text_col)))
@@ -223,10 +226,13 @@ class SparkOcrEngine:
                 if text is None:
                     out.append([])
                     continue
-                grid = TurnGrid(text)
-                out.append(
-                    [crop_box(grid, b)[0] for b in find_text_boxes(grid, cfg)]
-                )
+                try:
+                    grid = TurnGrid(text)
+                    out.append(
+                        [crop_box(grid, b)[0] for b in find_text_boxes(grid, cfg)]
+                    )
+                except Exception:  # poison row → no crops, not a dead task
+                    out.append([])
             return pd.Series(out)
 
         return df.withColumn("crops", crops_udf(F.col(text_col)))
@@ -252,15 +258,9 @@ class SparkOcrEngine:
                     btypes.append(None)
                     continue
                 try:
-                    canon = canonicalize(text, cfg.max_rec_lines)
-                    cp, scores, blank = char_scores(canon)
-                    d_cp, d_sc = decode(cp, scores, blank, cfg)
-                    texts.append(d_cp.tobytes().decode("utf-32-le"))
-                    confs.append(
-                        float(np.float32(d_sc.sum(dtype=np.float32))
-                              / np.float32(len(d_sc)))
-                        if len(d_sc) else 0.0
-                    )
+                    decoded, conf, canon = recognize_crop(text, cfg)
+                    texts.append(decoded)
+                    confs.append(conf)
                     btypes.append(classify_block(canon))
                 except Exception:  # poison row must not kill the task
                     texts.append(None)

@@ -19,8 +19,7 @@ import numpy as np
 
 from .config import DEFAULT_CONFIG, EngineConfig
 from .detect import Box, TurnGrid, crop_box, find_text_boxes
-from .recognize import canonicalize, classify_block, decode
-from .textgrid import char_scores
+from .recognize import classify_block, recognize_crop
 
 
 @dataclass(frozen=True)
@@ -82,14 +81,7 @@ def extract_turn_auto(
         for r in parse_document(text, config):
             if r.region_type not in ("body", "table"):
                 continue
-            canon = canonicalize(r.text, config.max_rec_lines)
-            cp, scores, blank = char_scores(canon)
-            d_cp, d_sc = decode(cp, scores, blank, config)
-            decoded = d_cp.tobytes().decode("utf-32-le")
-            conf = (
-                float(np.float32(d_sc.sum(dtype=np.float32)) / np.float32(len(d_sc)))
-                if len(d_sc) else 0.0
-            )
+            decoded, conf, _ = recognize_crop(r.text, config)
             blocks.append(
                 Block(
                     pos=len(blocks),
@@ -120,16 +112,7 @@ def extract_turn(text: str | None, config: EngineConfig = DEFAULT_CONFIG) -> Tur
         blocks: list[Block] = []
         for pos, box in enumerate(boxes):
             crop, start, end = crop_box(grid, box)
-            canon = canonicalize(crop, config.max_rec_lines)
-            cp, scores, blank = char_scores(canon)
-            d_cp, d_sc = decode(cp, scores, blank, config)
-            decoded = d_cp.tobytes().decode("utf-32-le")
-            if len(d_sc) == 0:
-                conf = 0.0
-            else:
-                conf = float(
-                    np.float32(d_sc.sum(dtype=np.float32)) / np.float32(len(d_sc))
-                )
+            decoded, conf, canon = recognize_crop(crop, config)
             blocks.append(
                 Block(
                     pos=pos,

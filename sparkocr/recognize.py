@@ -78,6 +78,8 @@ def _in_vocab(cp: np.ndarray, dictionary: tuple) -> np.ndarray:
         lut, astral = vocab_lut(dictionary)
         entry = (dictionary, lut,
                  np.array(sorted(astral), dtype=np.uint32) if astral else None)
+        if len(_VOCAB_CACHE) >= 16:  # bound: workloads minting configs
+            _VOCAB_CACHE.clear()     # per call must not leak LUTs forever
         _VOCAB_CACHE[id(dictionary)] = entry
     _, lut, astral_arr = entry
     ok = np.take(lut, cp.astype(np.intp, copy=False), mode="clip")
@@ -125,13 +127,18 @@ def decode(
     cls[borderline] = 2
 
     state_idx = np.flatnonzero(cls != 2)
-    k = np.searchsorted(state_idx, np.arange(n), side="left") - 1
-    has_prev = k >= 0
-    prev = state_idx[np.maximum(k, 0)]
-    dup = (
-        high & ~punct & has_prev
-        & (cls[prev] == 1) & (cp[prev] == cp)
-    )
+    if state_idx.size:
+        k = np.searchsorted(state_idx, np.arange(n), side="left") - 1
+        has_prev = k >= 0
+        prev = state_idx[np.maximum(k, 0)]
+        dup = (
+            high & ~punct & has_prev
+            & (cls[prev] == 1) & (cp[prev] == cp)
+        )
+    else:
+        # every position BORDERLINE (possible under custom thresholds):
+        # no state-changing position exists, so nothing is a repeat
+        dup = np.zeros(n, dtype=bool)
     emit = (high & ~dup) | borderline
 
     e_cp = cp[emit]
@@ -142,6 +149,24 @@ def decode(
     keep = np.ones(len(e_cp), dtype=bool)
     keep[1:] = ~(e_punct[1:] & (e_cp[1:] == e_cp[:-1]))
     return e_cp[keep], e_sc[keep]
+
+
+def recognize_crop(
+    crop: str, config: EngineConfig = DEFAULT_CONFIG
+) -> tuple[str, float, str]:
+    """Canonicalize + decode one cropped block → (text, avg_confidence,
+    canonical form). THE single home of the decode/confidence arithmetic
+    (float32 average, rec.rs:179-186) — engine UDFs and the per-turn
+    pipeline both call this so the math can never diverge."""
+    canon = canonicalize(crop, config.max_rec_lines)
+    cp, scores, blank = char_scores(canon)
+    d_cp, d_sc = decode(cp, scores, blank, config)
+    text = d_cp.tobytes().decode("utf-32-le")
+    if len(d_sc) == 0:
+        conf = 0.0
+    else:
+        conf = float(np.float32(d_sc.sum(dtype=np.float32)) / np.float32(len(d_sc)))
+    return text, conf, canon
 
 
 def predict_char_score(

@@ -56,29 +56,46 @@ def codepoints(text: str) -> np.ndarray:
     return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
 
 
-def markup_mask(text: str) -> np.ndarray:
-    """Boolean mask of characters that belong to markup: HTML comments,
-    <script>/<style> blocks, tags, ANSI escape sequences.
-
-    Analog of the zero-probability background pixels in the reference's
-    probability map (det.rs:339-346): markup never contributes to a
-    detected region.
-    """
+def opaque_mask(text: str) -> np.ndarray:
+    """Mask of OPAQUE markup regions — comments, <script>/<style>
+    bodies, ANSI escapes — whose content must not influence any other
+    analysis (in particular, an ``<a>`` inside a comment or a JS string
+    is not a real anchor boundary)."""
     mask = np.zeros(len(text), dtype=bool)
-    for rx in (_COMMENT_RE, _SCRIPT_RE, _TAG_RE, _ANSI_RE):
+    for rx in (_COMMENT_RE, _SCRIPT_RE, _ANSI_RE):
         for m in rx.finditer(text):
             mask[m.start() : m.end()] = True
     return mask
 
 
-def anchor_mask(text: str) -> np.ndarray:
+def markup_mask(text: str, opaque: np.ndarray | None = None) -> np.ndarray:
+    """Boolean mask of characters that belong to markup: opaque regions
+    (see :func:`opaque_mask`) plus tags.
+
+    Analog of the zero-probability background pixels in the reference's
+    probability map (det.rs:339-346): markup never contributes to a
+    detected region.
+    """
+    mask = (opaque_mask(text) if opaque is None else opaque).copy()
+    for m in _TAG_RE.finditer(text):
+        mask[m.start() : m.end()] = True
+    return mask
+
+
+def anchor_mask(text: str, opaque: np.ndarray | None = None) -> np.ndarray:
     """Boolean mask of characters inside <a>…</a> (the link-density
     numerator). Nested/unbalanced anchors handled with a depth counter;
-    an unclosed <a> extends to end of text."""
+    an unclosed <a> extends to end of text. Anchor boundaries inside
+    opaque markup (comments / script bodies) are ignored — a commented-
+    out ``<a>`` must not flag the rest of the turn as link text."""
     mask = np.zeros(len(text), dtype=bool)
+    if opaque is None:
+        opaque = opaque_mask(text)
     depth = 0
     pos = 0
     for m in _A_BOUND_RE.finditer(text):
+        if len(opaque) and opaque[m.start()]:
+            continue
         if depth > 0:
             mask[pos : m.start()] = True
         if m.group(0)[1] == "/":
