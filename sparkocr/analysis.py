@@ -112,6 +112,27 @@ def exact_dedup_groups(df: DataFrame, key_col: str, text_col: str = "text") -> D
     )
 
 
+
+def _shingle_posting(df: DataFrame, key_col: str, text_col: str,
+                     n: int) -> DataFrame:
+    """(doc, gram) posting list of distinct word n-grams per document —
+    THE single home of shingle construction. Documents shorter than n
+    tokens have NO n-grams (the sequence expression would otherwise emit
+    one truncated shingle at index 0, silently diverging from the
+    pos+1-join oracle SQL)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return (
+        df.where(F.size(toks) >= n)
+        .select(F.col(key_col).alias("doc"), F.explode(grams).alias("gram"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     key_col: str,
@@ -134,28 +155,13 @@ def ngram_jaccard_pairs(
     see the same filtered universe — the oracle SQL mirrors this
     exactly). ``max_df=None`` disables the cap (exact, small inputs
     only)."""
-    toks = F.split(F.col(text_col), " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
-    # documents shorter than n tokens have NO n-grams (the sequence
-    # expression would otherwise emit one truncated shingle at index 0,
-    # silently diverging from the pos+1-join oracle SQL)
-    base = (
-        df.where(F.size(toks) >= n)
-        .select(F.col(key_col).alias("doc"), grams.alias("grams"))
-        .where(F.size(F.col("grams")) > 0)
-    )
     # the (filtered) posting list feeds three consumers (sizes + both
     # self-join sides); without persistence Catalyst re-executes the
     # tokenize+shingle explode for each — materializing it once is the
     # cheaper plan at any scale (disk-spillable). Only the FINAL posting
-    # is persisted: caching the pre-filter list too would pin an
-    # unreachable copy in executor memory for the application lifetime.
-    posting = base.select("doc", F.explode("grams").alias("gram"))
+    # is persisted; it stays cached for the session (call
+    # spark.catalog.clearCache() between large corpora if needed).
+    posting = _shingle_posting(df, key_col, text_col, n)
     if max_df is not None:
         # anti-join against the (small) hot-gram list: a partial-agg
         # count + AQE-sized join, cheaper at scale than a window over
@@ -204,18 +210,7 @@ def minhash_signatures(
     xxhash64(seed_i, shingle); signature = array of per-stream minima.
     One explode + one groupBy; the shingle text itself never shuffles
     (only 8-byte hashes)."""
-    toks = F.split(F.col(text_col), " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n_shingle, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n_shingle)),
-        )
-    )
-    # sub-n_shingle-token docs have no shingles (see ngram_jaccard_pairs)
-    posting = (
-        df.where(F.size(toks) >= n_shingle)
-        .select(F.col(key_col).alias("doc"), F.explode(grams).alias("gram"))
-    )
+    posting = _shingle_posting(df, key_col, text_col, n_shingle)
     hashed = posting.select(
         "doc",
         *[
@@ -241,6 +236,11 @@ def minhash_lsh_pairs(
     """MinHash+LSH candidate pairs: split the signature into ``bands``
     rows-per-band chunks, bucket-join on (band, chunk-hash). Candidates ~
     actual collisions; verify with exact signature similarity."""
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes}) exactly — "
+            "trailing signature entries would silently drop out of banding"
+        )
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, key_col, text_col, n_shingle, n_hashes)
     band_cols = F.array(

@@ -109,8 +109,10 @@ def cosine_neardup_pairs(
 
 def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: blake2b counter stream →
-    standard-normal-ish values via inverse-uniform trick (fixed, no RNG
-    state; same planes on every machine)."""
+    uniform values in [-0.5, 0.5) (fixed, no RNG state; same planes on
+    every machine). Cube-uniform normals are slightly biased toward
+    diagonals versus Gaussian ones, trading a little LSH collision-
+    probability fidelity for full cross-machine determinism."""
     raw = np.empty(dim * n_planes, dtype=np.float64)
     for i in range(dim * n_planes):
         h = hashlib.blake2b(f"plane:{i}".encode(), digest_size=8).digest()

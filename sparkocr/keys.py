@@ -55,10 +55,11 @@ def vocab_lut(dictionary: tuple[str, ...]) -> tuple[np.ndarray, frozenset]:
     shape as the punctuation/word LUTs in textgrid."""
     lut = np.zeros(0x10000, dtype=bool)
     astral = set()
-    for ch in dictionary:
-        cp = ord(ch)
-        if cp < 0x10000:
-            lut[cp] = True
-        else:
-            astral.add(cp)
+    for key in dictionary:
+        for ch in key:  # tolerate multi-codepoint keys
+            cp = ord(ch)
+            if cp < 0x10000:
+                lut[cp] = True
+            else:
+                astral.add(cp)
     return lut, frozenset(astral)

@@ -25,9 +25,13 @@ from .engine import ordered
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True when an Iceberg catalog is usable in this session."""
+    """True when the Iceberg runtime is on the JVM classpath. NOTE:
+    plain py4j attribute access (``spark._jvm.org.apache...``) cannot be
+    used here — it returns a JavaPackage object instead of raising for
+    missing classes, which made an earlier version always return True.
+    Class.forName raises ClassNotFoundException for real."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
         return True
     except Exception:
         return False
@@ -59,7 +63,10 @@ def write_ordered(df: DataFrame, location: str, fmt: str = "auto",
         fmt = "iceberg" if ("/" not in location
                             and iceberg_available(df.sparkSession)) else "parquet"
     if fmt == "iceberg":
-        out.writeTo(location).append()
+        # createOrReplace mirrors the parquet path's overwrite semantics
+        # (and works when the table does not exist yet); use
+        # out.writeTo(location).append() directly for incremental loads
+        out.writeTo(location).createOrReplace()
     else:
         out.write.mode("overwrite").parquet(location)
 
@@ -106,6 +113,8 @@ def write_debug_html(result: DataFrame, location: str,
     """Write an HTML debug page of the first ``limit`` turns with their
     detected spans highlighted (driver-side render — a debug sink, not a
     data path)."""
+    import html as _html
+
     rows = (
         ordered(result).select("conv_id", "turn_idx", "blocks", "source_text")
         if "source_text" in result.columns else
@@ -113,14 +122,22 @@ def write_debug_html(result: DataFrame, location: str,
     ).limit(limit).collect()
     texts = {}
     if text_df is not None:
+        # only fetch the texts of the turns actually rendered — a full
+        # collect of the source table would OOM the driver on real data
+        keys = {(r["conv_id"], r["turn_idx"]) for r in rows}
+        key_df = result.sparkSession.createDataFrame(
+            sorted(keys), "conv_id string, turn_idx int")
         texts = {(r["conv_id"], r["turn_idx"]): r["text"]
-                 for r in text_df.select("conv_id", "turn_idx", "text").collect()}
+                 for r in text_df.select("conv_id", "turn_idx", "text")
+                 .join(key_df, ["conv_id", "turn_idx"], "left_semi").collect()}
     parts = ["<!doctype html><meta charset='utf-8'><title>sparkocr debug</title>"]
     for r in rows:
         text = r["source_text"] if "source_text" in r.__fields__ else \
             texts.get((r["conv_id"], r["turn_idx"]), "")
-        parts.append(f"<h3>{r['conv_id']} · turn {r['turn_idx']}</h3>")
-        parts.append(debug_html(text, [b.asDict() for b in r["blocks"]]))
+        blocks = [b.asDict() for b in (r["blocks"] or [])]
+        parts.append(f"<h3>{_html.escape(str(r['conv_id']))} · turn "
+                     f"{r['turn_idx']}</h3>")
+        parts.append(debug_html(text or "", blocks))
     import os
 
     os.makedirs(location, exist_ok=True)
