@@ -208,11 +208,17 @@ def merge_overlapping_boxes(boxes: list[Box], threshold: int) -> list[Box]:
 def box_span(grid: TurnGrid, box: Box) -> tuple[int, int]:
     """Half-open char span of a box in the original text — the offsets
     crop_box computes, WITHOUT materializing the crop string (the cheap
-    path for detection-only queries like GetTextRects)."""
-    y0 = box.top // LINE_HEIGHT
-    y1 = box.bottom // LINE_HEIGHT
-    start = grid.line_offsets[y0] + box.left
-    end = grid.line_offsets[y1] + box.right + 1
+    path for detection-only queries like GetTextRects).
+
+    Clamping mirrors crop_box exactly: for merged multi-line boxes whose
+    LAST line is shorter than the widest line, box.right+1 must clamp to
+    that line's length or the span would bleed past the line break (and
+    past len(text) on the final line) and disagree with extract's spans
+    for the same box."""
+    y0 = min(box.top // LINE_HEIGHT, len(grid.lines) - 1)
+    y1 = min(box.bottom // LINE_HEIGHT, len(grid.lines) - 1)
+    start = grid.line_offsets[y0] + min(box.left, len(grid.lines[y0]))
+    end = grid.line_offsets[y1] + min(box.right + 1, len(grid.lines[y1]))
     return start, end
 
 

@@ -35,13 +35,16 @@ def normalize_keys(chars) -> tuple[str, ...]:
 
 
 def load_keys_bytes(data: bytes, encoding: str = "utf-8") -> tuple[str, ...]:
-    """One character per line, ``\\n``/``\\r`` stripped (rec.rs:55-59);
-    empty lines ignored."""
+    """One key per line, ``\\n``/``\\r`` stripped (rec.rs:55-59); empty
+    lines ignored. The WHOLE stripped line is kept — the reference keeps
+    every non-newline character of a line, and ``vocab_lut`` iterates
+    per-codepoint, so multi-codepoint keys contribute all their
+    characters to the vocabulary (``normalize_keys`` dedupes)."""
     out = []
     for line in data.decode(encoding).split("\n"):
         ch = line.strip("\r\n")
         if ch:
-            out.append(ch[0])
+            out.append(ch)
     return normalize_keys(out)
 
 

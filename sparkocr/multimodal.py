@@ -141,6 +141,12 @@ def image_features(
                     continue
                 try:
                     px = _decode_image(bytes(payload))
+                    # a header declaring width/height 0 decodes to an empty
+                    # pixel array: mean/std would be NaN and hist/px.size a
+                    # zero-divide — an all-NaN feature vector that poisons
+                    # downstream ordering. Flag it as a decode error instead.
+                    if px.size == 0:
+                        raise ValueError("decoded image has zero pixels")
                     hist = np.histogram(px, bins=n_bins, range=(0, 256))[0]
                     v = np.concatenate(
                         [[px.mean(), px.std()], hist.astype(np.float32) / px.size]

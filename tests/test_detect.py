@@ -213,3 +213,42 @@ def test_config_builder_parity():
     assert (cfg.rect_border_size, cfg.merge_boxes, cfg.merge_threshold,
             cfg.min_score, cfg.punct_min_score) == (12, False, 3, 0.7, 0.2)
     assert DEFAULT_CONFIG.rect_border_size == 10  # original untouched
+
+
+# --- box_span / crop_box span agreement (round-2 review fix) -------------
+
+def test_box_span_clamps_to_short_last_line():
+    """Merged multi-line box whose LAST line is shorter than the widest
+    line: the span end must clamp to that line's length (review finding:
+    unclamped right+1 bled past len(text))."""
+    from sparkocr.detect import box_span
+
+    text = "aaaa bbbb cccc dddd aaaa\nzzzz yyy"
+    grid = TurnGrid(text)
+    bxs = find_text_boxes(grid, EngineConfig(rect_border_size=12,
+                                             merge_boxes=True))
+    assert len(bxs) == 1
+    crop, start, end = crop_box(grid, bxs[0])
+    assert (start, end) == (0, 33)
+    assert (start, end) == box_span(grid, bxs[0])
+    assert end <= len(text)
+
+
+def test_box_span_matches_crop_box_on_ragged_inputs():
+    """box_span must equal crop_box's offsets for every detected box on
+    ragged multi-line inputs (the cheap path and the materializing path
+    can never disagree)."""
+    from sparkocr.detect import box_span
+
+    cases = [
+        "short\nmuch longer line of prose here\nmid",
+        "wide wide wide wide wide\nx\nwide wide wide wide wide",
+        "a line of text\n\n\nanother line down here\ntiny",
+        "prose first line here\nsecond much longer prose line going on\nend.",
+    ]
+    for text in cases:
+        grid = TurnGrid(text)
+        for cfg in (NOMERGE, EngineConfig(rect_border_size=12, merge_boxes=True)):
+            for b in find_text_boxes(grid, cfg):
+                _, start, end = crop_box(grid, b)
+                assert box_span(grid, b) == (start, end), (text, b)

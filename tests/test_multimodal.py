@@ -74,3 +74,22 @@ def test_rebalance_by_size(spark, media):
     out = rebalance_by_size(media, target_bytes=16 << 10)
     assert out.count() == media.count()
     assert out.rdd.getNumPartitions() >= 1
+
+
+def test_image_features_zero_size_is_decode_error(spark):
+    """A FAKEIMG1 header declaring width or height 0 must be flagged as a
+    decode error, not emit an all-NaN feature vector (review finding)."""
+    import struct
+
+    from sparkocr.multimodal import IMG_MAGIC
+
+    zero_w = IMG_MAGIC + struct.pack("<HH", 0, 8)
+    zero_h = IMG_MAGIC + struct.pack("<HH", 8, 0)
+    bad = spark.createDataFrame(
+        [(1, "image", zero_w, 0, 8, 1), (2, "image", zero_h, 8, 0, 1)],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in image_features(bad).collect()}
+    for k in (1, 2):
+        assert rows[k]["features"] is None
+        assert "zero pixels" in rows[k]["decode_error"]

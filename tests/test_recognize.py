@@ -259,3 +259,19 @@ def test_surrogate_entity_is_left_verbatim():
     r = extract_turn("A good line of prose here &#55296; indeed.")
     assert r.error_code is None
     assert r.blocks
+
+
+def test_keys_multichar_line_keeps_all_codepoints():
+    """A multi-character keys line contributes EVERY character (the
+    reference keeps all non-newline chars of a line; review finding:
+    ch[0] silently truncated)."""
+    from sparkocr.keys import load_keys_bytes
+
+    keys = load_keys_bytes("ab\n轻舟\nc\n".encode())
+    assert keys == ("ab", "c", "轻舟")
+    from sparkocr.config import DEFAULT_CONFIG
+    from sparkocr.recognize import predict_str
+
+    cfg = DEFAULT_CONFIG.with_dictionary(keys + (" ",))
+    # 'b' and '舟' are in-vocab only because the whole line was kept
+    assert predict_str("ab 轻舟 c", cfg) == "ab 轻舟 c"
