@@ -59,14 +59,20 @@ def _as_transcripts(docs: DataFrame) -> DataFrame:
     keyed by source). The small test parquet arrives as ONE scan split,
     which would serialize the extraction UDF on a single core — the
     round-robin repartition is the same rebalance a salted repartition
-    performs on a skewed production scan."""
+    performs on a skewed production scan. Gated on the actual scan split
+    count (round-1 review finding): a production scan that already has
+    enough splits must NOT pay a full shuffle of the text payload before
+    a narrow map."""
     spread = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.select(
+    out = docs.select(
         F.col("source").alias("conv_id"),
         F.col("doc_id").cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
         "text",
-    ).repartition(spread)
+    )
+    if docs.rdd.getNumPartitions() < spread:
+        out = out.repartition(spread)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -113,6 +113,18 @@ def exact_dedup_groups(df: DataFrame, key_col: str, text_col: str = "text") -> D
 
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition IF the input has fewer partitions than the
+    cluster has slots — a small/single-split scan would otherwise run the
+    whole tokenize/hash pipeline on one core. Gated on the actual
+    partition count so a production scan with plenty of splits never
+    pays a payload shuffle before a narrow map."""
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < spread:
+        return df.repartition(spread)
+    return df
+
+
 def _shingle_posting(df: DataFrame, key_col: str, text_col: str,
                      n: int) -> DataFrame:
     """(doc, gram) posting list of distinct word n-grams per document —
@@ -128,7 +140,7 @@ def _shingle_posting(df: DataFrame, key_col: str, text_col: str,
         )
     )
     return (
-        df.where(F.size(toks) >= n)
+        _spread(df.where(F.size(toks) >= n))
         .select(F.col(key_col).alias("doc"), F.explode(grams).alias("gram"))
     )
 
@@ -156,11 +168,14 @@ def ngram_jaccard_pairs(
     exactly). ``max_df=None`` disables the cap (exact, small inputs
     only)."""
     # the (filtered) posting list feeds three consumers (sizes + both
-    # self-join sides); without persistence Catalyst re-executes the
-    # tokenize+shingle explode for each — materializing it once is the
-    # cheaper plan at any scale (disk-spillable). Only the FINAL posting
-    # is persisted; it stays cached for the session (call
-    # spark.catalog.clearCache() between large corpora if needed).
+    # self-join sides); without materialization Catalyst re-executes the
+    # tokenize+shingle explode for each. localCheckpoint (eager) stores
+    # it once and — unlike persist() — its storage is reclaimed by the
+    # ContextCleaner as soon as the returned plan is garbage, so repeated
+    # calls in one session cannot accumulate session-lifetime caches
+    # (round-1 review finding). At real cluster scale prefer a reliable
+    # checkpoint dir (sc.setCheckpointDir + .checkpoint()) so executor
+    # loss cannot invalidate the materialized posting mid-job.
     posting = _shingle_posting(df, key_col, text_col, n)
     if max_df is not None:
         # anti-join against the (small) hot-gram list: a partial-agg
@@ -172,9 +187,8 @@ def ngram_jaccard_pairs(
             .where(F.col("gram_df") > max_df)
             .select("gram")
         )
-        posting = posting.join(hot, "gram", "left_anti").persist()
-    else:
-        posting = posting.persist()
+        posting = posting.join(hot, "gram", "left_anti")
+    posting = posting.localCheckpoint(eager=True)
     sizes = posting.groupBy("doc").agg(F.count("*").alias("n_grams"))
     common = (
         posting.alias("a")
@@ -206,15 +220,22 @@ def minhash_signatures(
     n_shingle: int = 3,
     n_hashes: int = 32,
 ) -> DataFrame:
-    """MinHash signatures: k independent hash streams via
-    xxhash64(seed_i, shingle); signature = array of per-stream minima.
-    One explode + one groupBy; the shingle text itself never shuffles
-    (only 8-byte hashes)."""
+    """MinHash signatures: k independent hash streams; signature = array
+    of per-stream minima. One explode + one groupBy; the shingle text
+    itself never shuffles (only 8-byte hashes).
+
+    The shingle string is hashed ONCE (``xxhash64(gram)``); the k
+    streams are derived from that 8-byte base as ``xxhash64(i, base)``
+    — k fixed-width hashes instead of k full string hashes, the
+    dominant per-shingle cost at scale."""
     posting = _shingle_posting(df, key_col, text_col, n_shingle)
+    base = F.xxhash64(F.col("gram"))
     hashed = posting.select(
+        "doc", base.alias("__base__")
+    ).select(
         "doc",
         *[
-            F.xxhash64(F.lit(i), F.col("gram")).alias(f"h{i}")
+            F.xxhash64(F.lit(i), F.col("__base__")).alias(f"h{i}")
             for i in range(n_hashes)
         ],
     )
@@ -242,35 +263,51 @@ def minhash_lsh_pairs(
             "trailing signature entries would silently drop out of banding"
         )
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, key_col, text_col, n_shingle, n_hashes)
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
+    # materialize the signature aggregate ONCE: without this, both
+    # self-join aliases re-execute the full shingle→hash→groupBy pipeline
+    # (round-1 review finding — at 100 TB recomputing a full-corpus
+    # explode+agg to save a small cache is the wrong trade). The
+    # signature table is tiny relative to the corpus (n_hashes longs per
+    # doc, the text never leaves the map side); localCheckpoint storage
+    # is reclaimed when the plan is garbage — at real cluster scale use a
+    # reliable checkpoint dir instead so executor loss can't invalidate it.
+    sig = minhash_signatures(df, key_col, text_col, n_shingle, n_hashes) \
+        .localCheckpoint(eager=True)
+    band_hash = [
+        F.xxhash64(
+            *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+        )
+        for b in range(bands)
+    ]
+    buckets = (
+        sig.withColumn("band_hashes", F.array(*band_hash))
+        .select(
+            "doc", "signature", "band_hashes",
+            F.posexplode("band_hashes").alias("band", "bucket"),
+        )
     )
-    # both self-join sides recompute the signature pipeline; measured
-    # cheaper than persisting here (the agg output is small and caching
-    # breaks whole-stage fusion of the k-hash aggregate)
-    buckets = sig.select("doc", "signature", F.explode(band_cols).alias("bb")).select(
-        "doc", "signature", "bb.band", "bb.bucket"
+    # dedupe WITHOUT a second shuffle: a pair colliding in several bands
+    # would come out of the equi-join once per colliding band, so keep
+    # only the row whose band is the FIRST band on which the two
+    # signatures agree (computable from the carried band-hash arrays — a
+    # map-side filter, replacing the old post-join dropDuplicates
+    # exchange)
+    first_agree = F.array_position(
+        F.zip_with("a.band_hashes", "b.band_hashes",
+                   lambda x, y: (x == y)),
+        True,
     )
     pairs = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["band", "bucket"])
         .where(F.col("a.doc") < F.col("b.doc"))
+        .where(first_agree == F.col("band") + 1)
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
             F.col("a.signature").alias("sig_a"),
             F.col("b.signature").alias("sig_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     est = F.round(
         F.size(
@@ -316,7 +353,7 @@ def simhash64(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
             out[i] = np.int64(v.astype(np.int64))
         return pd.Series(out)
 
-    return df.withColumn("simhash", sim(F.col(text_col)))
+    return _spread(df).withColumn("simhash", sim(F.col(text_col)))
 
 
 def simhash_neardup_pairs(
@@ -324,6 +361,8 @@ def simhash_neardup_pairs(
     key_col: str,
     text_col: str = "text",
     max_hamming: int = 3,
+    min_tokens: int = 2,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -333,12 +372,35 @@ def simhash_neardup_pairs(
     collisions (equi-join on (band_no, band_value), shuffle bounded by
     collisions) and the residual ``bit_count(xor) <= k`` filter makes
     the result exact, never a cross product. For ``max_hamming`` ≥ 4
-    widen to 8×8-bit bands accordingly (not needed here)."""
+    widen to 8×8-bit bands accordingly (not needed here).
+
+    Degenerate-band skew guards (round-1 review finding — empty or
+    boilerplate-identical docs all hash to the same simhash, so all 4
+    bands collide and one (band_no, band_val) bucket does O(n²)
+    residual-filter work):
+
+    - ``min_tokens``: docs with fewer whitespace tokens are excluded
+      up front — a near-empty doc's simhash carries no signal.
+    - ``max_bucket``: any (band_no, band_val) bucket with more members
+      is dropped before the self-join (the ``max_df`` stop-shingle
+      pattern). A 100 TB corpus with 1% byte-identical boilerplate
+      should be exact-deduped FIRST (``exact_dedup_groups``); after
+      that, a >``max_bucket`` bucket is pathological skew, and
+      dropping it trades bounded recall (only pairs whose EVERY
+      agreeing band is hot can be lost) for a bounded join.
+      ``None`` disables the cap."""
     if max_hamming > 3:
         raise ValueError("4×16-bit banding is only exact for max_hamming <= 3")
+    if min_tokens > 0:
+        df = df.where(
+            F.size(F.split(F.col(text_col), " ")) >= min_tokens
+        )
+    # materialize the (tiny) simhash table once: it feeds the hot-bucket
+    # aggregate, the anti-join probe side, AND both self-join sides —
+    # without this the per-token pandas UDF would re-run for each
     sh = simhash64(df, key_col, text_col).select(
         F.col(key_col).alias("doc"), "simhash"
-    )
+    ).localCheckpoint(eager=True)
     bands = F.array(*[
         F.struct(
             F.lit(i).alias("band_no"),
@@ -350,17 +412,46 @@ def simhash_neardup_pairs(
     banded = sh.select("doc", "simhash", F.explode(bands).alias("b")).select(
         "doc", "simhash", "b.band_no", "b.band_val"
     )
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band_no", "band_val")
+            .agg(F.count("*").alias("occ"))
+            .where(F.col("occ") > max_bucket)
+            .select("band_no", "band_val")
+        )
+        banded = banded.join(hot, ["band_no", "band_val"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    pairs = (
         a.join(b, ["band_no", "band_val"])
         .where(F.col("a.doc") < F.col("b.doc"))
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.col("band_no"),
+            F.bit_count(xor).alias("hamming"),
+            # band i agrees iff its 16 xor bits are all zero; the first
+            # agreeing band is derivable map-side from the xor
+            (F.array_position(
+                F.array(*[
+                    (F.shiftrightunsigned(xor, 16 * i)
+                     .bitwiseAND(F.lit(0xFFFF)) == 0)
+                    for i in range(4)
+                ]), True,
+            ) - 1).alias("first_agree"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
+    if max_bucket is None:
+        # dedupe WITHOUT a shuffle: a pair agreeing on several bands
+        # exits the equi-join once per band — keep only the row whose
+        # band_no is the first agreeing band (map-side filter replacing
+        # a dropDuplicates exchange)
+        return (pairs.where(F.col("band_no") == F.col("first_agree"))
+                .select("doc_a", "doc_b", "hamming"))
+    # with the occupancy cap a pair's first agreeing band may have been
+    # dropped as hot (the pair then only surfaces via a later band), so
+    # the first-agree filter would lose it. Candidates are already
+    # bounded by the cap, so the dedup exchange is bounded too.
+    return (pairs.select("doc_a", "doc_b", "hamming")
+            .dropDuplicates(["doc_a", "doc_b"]))

@@ -52,10 +52,14 @@ def canonicalize(text: str, max_lines: int = 48) -> str:
     aspect" (rec.rs:228-231) — NFC normalize, fold newlines/tabs, decode
     entities, and if taller than ``max_lines`` lines, resample lines
     uniformly (index i → line i*h//48, the resize_exact analog)."""
-    t = unicodedata.normalize("NFC", text)
+    # quick-check gates (exact): most crops are already NFC and carry no
+    # entities — skip the normalize table walk / regex sub on those
+    t = text if unicodedata.is_normalized("NFC", text) \
+        else unicodedata.normalize("NFC", text)
     t = t.replace("\r\n", "\n").replace("\r", "\n").replace("\f", "\n")
     t = t.replace("\t", " ")
-    t = _ENTITY_RE.sub(_entity_sub, t)
+    if "&" in t:
+        t = _ENTITY_RE.sub(_entity_sub, t)
     lines = t.split("\n")
     h = len(lines)
     if h > max_lines:

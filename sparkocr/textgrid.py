@@ -62,8 +62,16 @@ def opaque_mask(text: str) -> np.ndarray:
     analysis (in particular, an ``<a>`` inside a comment or a JS string
     is not a real anchor boundary)."""
     mask = np.zeros(len(text), dtype=bool)
-    for rx in (_COMMENT_RE, _SCRIPT_RE, _ANSI_RE):
-        for m in rx.finditer(text):
+    # exact fast gates: every comment/script match contains '<', every
+    # ANSI match contains ESC — a C-level substring scan skips the regex
+    # engines entirely on clean text (the common case for recognition
+    # crops, whose markup was already blanked by crop_box)
+    if "<" in text:
+        for rx in (_COMMENT_RE, _SCRIPT_RE):
+            for m in rx.finditer(text):
+                mask[m.start() : m.end()] = True
+    if "\x1b" in text:
+        for m in _ANSI_RE.finditer(text):
             mask[m.start() : m.end()] = True
     return mask
 
@@ -77,8 +85,9 @@ def markup_mask(text: str, opaque: np.ndarray | None = None) -> np.ndarray:
     detected region.
     """
     mask = (opaque_mask(text) if opaque is None else opaque).copy()
-    for m in _TAG_RE.finditer(text):
-        mask[m.start() : m.end()] = True
+    if "<" in text:  # exact gate: every tag match contains '<'
+        for m in _TAG_RE.finditer(text):
+            mask[m.start() : m.end()] = True
     return mask
 
 
@@ -89,6 +98,8 @@ def anchor_mask(text: str, opaque: np.ndarray | None = None) -> np.ndarray:
     opaque markup (comments / script bodies) are ignored — a commented-
     out ``<a>`` must not flag the rest of the turn as link text."""
     mask = np.zeros(len(text), dtype=bool)
+    if "<" not in text:  # exact gate: anchor boundaries require '<'
+        return mask
     if opaque is None:
         opaque = opaque_mask(text)
     depth = 0

@@ -191,3 +191,69 @@ def test_short_docs_have_no_shingles(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(3, 4)}
     sigs = minhash_signatures(df, "doc_id", n_shingle=2).collect()
     assert {r["doc"] for r in sigs} == {3, 4}
+
+
+def test_simhash_degenerate_bucket_guard(spark):
+    """10k near-identical docs all hash to the same simhash — without
+    the occupancy cap one (band_no, band_val) bucket would do O(n²)
+    residual-filter work (round-1 review finding). With the cap the op
+    completes with bounded output; dropping hot buckets may only lose
+    pairs whose EVERY agreeing band is hot."""
+    from pyspark.sql import functions as F
+
+    from sparkocr.analysis import simhash_neardup_pairs
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate footer text repeated everywhere "
+              "on every single page of the site").alias("text"),
+    )
+    out = simhash_neardup_pairs(docs, "doc_id", max_hamming=3,
+                                max_bucket=200)
+    assert out.count() == 0  # all 4 bands hot -> bucket dropped entirely
+    # same corpus under the uncapped path would be ~2M pairs — don't run
+    # it; instead verify the cap leaves a small mixed corpus untouched
+    mixed = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 4),
+         (2, "the quick brown fox jumps over the lazy cat " * 4),
+         (3, "entirely unrelated text about query optimizers " * 4)],
+        "doc_id long, text string")
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in simhash_neardup_pairs(mixed, "doc_id",
+                                             max_bucket=200).collect()}
+    uncapped = {(r["doc_a"], r["doc_b"])
+                for r in simhash_neardup_pairs(mixed, "doc_id",
+                                               max_bucket=None).collect()}
+    assert capped == uncapped
+
+
+def test_simhash_min_token_floor(spark):
+    """Empty / single-token docs are excluded before banding: their
+    simhashes are degenerate (all-identical) and carry no signal."""
+    from sparkocr.analysis import simhash_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "x"), (4, "x"),
+         (5, "a real document with several words inside " * 3),
+         (6, "a real document with several words inside " * 3)],
+        "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in simhash_neardup_pairs(df, "doc_id").collect()}
+    assert pairs == {(5, 6)}
+
+
+def test_minhash_single_compute_and_no_dedup_shuffle(spark):
+    """The signature pipeline is materialized once (no HashAggregate in
+    the final plan — it ran eagerly at build time) and pair dedupe is
+    the map-side first-agreeing-band filter, not a dropDuplicates
+    aggregate (round-1 review finding)."""
+    from sparkocr.analysis import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"shared prefix tokens for everyone then unique tail {i} "
+             f"more filler words here {i}") for i in range(20)],
+        "doc_id long, text string")
+    out = minhash_lsh_pairs(df, "doc_id", n_shingle=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan  # signature agg ran once, eagerly
+    out.collect()  # and the pair plan executes
