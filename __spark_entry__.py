@@ -460,6 +460,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = eng.extract(_as_transcripts(_t(spark, sf, "documents")))
         return ordered(out).select("conv_id", "turn_idx", "n_blocks", "full_text")
 
+    def q_extract_keys_documents(spark, sf):
+        # keys-file parity end-to-end (rec.rs:16,55-59): the reference
+        # decodes EVERY image through models/ppocr_keys_v5.txt — this
+        # runs the flagship extraction with that exact vocabulary
+        # restriction (out-of-vocab chars decode as CTC blanks). The
+        # keys file is DATA read from the reference at runtime, not code.
+        import os
+
+        from sparkocr.config import FLAGSHIP_CONFIG
+        from sparkocr.keys import load_keys_file
+
+        keys_path = "/root/reference/models/ppocr_keys_v5.txt"
+        if not os.path.exists(keys_path):  # foreign environment fallback
+            keys = tuple(chr(c) for c in range(0x20, 0x7F)) + ("\n",)
+        else:
+            keys = load_keys_file(keys_path)
+        eng = SparkOcrEngine(spark, FLAGSHIP_CONFIG.with_dictionary(keys))
+        out = eng.extract(_as_transcripts(_t(spark, sf, "documents")))
+        return ordered(out).select("conv_id", "turn_idx", "n_blocks",
+                                   "full_text")
+
     def q_extract_blocks_flat(spark, sf):
         eng = SparkOcrEngine(spark)
         out = eng.extract(_as_transcripts(_t(spark, sf, "documents")))
@@ -541,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
         "ann_cosine_topk": q_ann_cosine_topk,
         "extract_documents": q_extract_documents,
+        "extract_keys_documents": q_extract_keys_documents,
         "extract_blocks_flat": q_extract_blocks_flat,
         "extract_quality_metrics": q_extract_quality_metrics,
         "spans_documents": q_spans_documents,
@@ -588,9 +610,60 @@ SELECT user_id, count(DISTINCT grp) AS n_merged FROM g GROUP BY user_id
 """
 
 
+# Queries whose semantics have no SQL form (detect→recognize cascade,
+# banded LSH over process-local hash functions, fake-codec media, layout
+# parsing). Their oracle is a COMMITTED GOLDEN: the sf0.01 result pinned
+# as a parquet fixture (tests/fixtures/oracle/) that DuckDB re-reads, so
+# the driver's rows+schema+hash gate catches any regression. The goldens
+# are regression pins, not independent derivations — independent
+# validation lives in pytest (hand-authored extraction fixtures in
+# tests/test_handwritten_golden.py, the minhash⊇exact-Jaccard superset
+# bound, simhash planted-pair recall, media codec unit tests).
+# Regenerate deliberately via scripts/make_oracle_goldens.py after any
+# intended semantics change, and say so in the commit.
+GOLDEN_ORACLE_QUERIES = [
+    "extract_documents",
+    "extract_keys_documents",
+    "extract_blocks_flat",
+    "extract_quality_metrics",
+    "spans_documents",
+    "minhash_lsh_pairs_documents",
+    "simhash_documents",
+    "simhash_neardup_documents",
+    "lsh_topk_embeddings",
+    "embed_neardup_lsh",
+    "layout_regions_documents",
+    "extract_route_documents",
+    "media_image_features",
+    "media_video_frames",
+    "clean_corpus_pipeline",
+]
+
+_ORACLE_FIXTURE_DIR = None
+
+
+def _oracle_fixture_dir() -> str:
+    global _ORACLE_FIXTURE_DIR
+    if _ORACLE_FIXTURE_DIR is None:
+        import os
+
+        _ORACLE_FIXTURE_DIR = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tests", "fixtures", "oracle")
+    return _ORACLE_FIXTURE_DIR
+
+
 def oracle_sql() -> dict[str, str]:
+    import os
+
     stop_list = "'the','and','of','to','a','in','is','it','that','for','on','with','as','at','by','an','be','this','are','or'"
-    return {
+    golden_dir = _oracle_fixture_dir()
+    golden = {
+        name: f"SELECT * FROM read_parquet('{golden_dir}/{name}.parquet')"
+        for name in GOLDEN_ORACLE_QUERIES
+        if os.path.exists(f"{golden_dir}/{name}.parquet")
+    }
+    return golden | {
         "window_rank_events": """
             SELECT user_id, event_id,
                    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk

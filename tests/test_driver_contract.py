@@ -54,18 +54,16 @@ def test_entry_smoke(spark):
     assert any(r.n_blocks > 0 for r in rows)
 
 
-def test_every_query_has_oracle_or_is_pipeline():
+def test_every_query_has_an_oracle():
+    """Every queries() entry is hash-gated: SQL-expressible ops by real
+    DuckDB SQL, non-SQL ops by committed-golden parquet pins (see
+    GOLDEN_ORACLE_QUERIES; regenerated via scripts/make_oracle_goldens)."""
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
-    assert set(osql) <= set(qs)
-    # pipeline/hash ops are the only rows-only entries
-    rows_only = set(qs) - set(osql)
-    for name in rows_only:
-        assert any(
-            name.startswith(p)
-            for p in ("extract", "spans", "minhash", "simhash", "lsh",
-                      "layout", "media", "embed_neardup_lsh", "clean")
-        ), name
+    assert set(osql) == set(qs), set(qs) ^ set(osql)
+    # golden-backed oracles must read a fixture that actually exists
+    for name in entrymod.GOLDEN_ORACLE_QUERIES:
+        assert "read_parquet" in osql[name], name
 
 
 @pytest.mark.parametrize("name", SUBSET)

@@ -257,3 +257,38 @@ def test_minhash_single_compute_and_no_dedup_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" not in plan  # signature agg ran once, eagerly
     out.collect()  # and the pair plan executes
+
+
+def test_keys_file_vocabulary_end_to_end(spark):
+    """The real reference keys file restricts recognition THROUGH the
+    Spark engine: an out-of-vocab character decodes as blank end-to-end
+    (previously only unit-tested; round-1 review ask)."""
+    import os
+
+    from sparkocr.config import FLAGSHIP_CONFIG
+    from sparkocr.keys import load_keys_file
+
+    keys_path = "/root/reference/models/ppocr_keys_v5.txt"
+    if not os.path.exists(keys_path):
+        import pytest
+
+        pytest.skip("reference keys file unavailable")
+    keys = load_keys_file(keys_path)
+    assert len(keys) > 18000
+    eng = SparkOcrEngine(spark, FLAGSHIP_CONFIG.with_dictionary(keys))
+    # pick a char the unrestricted model KEEPS (word-scored: Greek /
+    # Cyrillic ranges) but the keys file lacks — so the only thing that
+    # can drop it is the dictionary
+    vocab_chars = set("".join(keys))
+    oov = next(c for c in (chr(x) for x in
+                           list(range(0x3A2, 0x400)) + list(range(0x460, 0x500)))
+               if c not in vocab_chars)
+    df = spark.createDataFrame(
+        [("c", 0, "user", f"A plain prose sentence with {oov} inside it.")],
+        "conv_id string, turn_idx int, role string, text string")
+    row = eng.extract(df).collect()[0]
+    assert oov not in row["full_text"]
+    assert "plain prose sentence" in row["full_text"]
+    # same turn WITHOUT the dictionary keeps the char (sanity)
+    row2 = SparkOcrEngine(spark, FLAGSHIP_CONFIG).extract(df).collect()[0]
+    assert oov in row2["full_text"]
