@@ -1,6 +1,11 @@
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running stability tests")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from sparkocr.session import get_spark
