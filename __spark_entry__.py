@@ -97,9 +97,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sparkocr.analysis import (
+        contamination_counts,
         exact_dedup_groups,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        pii_scrub,
+        repetition_ratio,
         simhash64,
         with_fingerprint,
         with_lang_id,
@@ -249,6 +252,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return exact_dedup_groups(docs.unionByName(dup), "doc_id").select(
             "fingerprint", "n_dups", "keeper"
+        )
+
+    def q_pii_scrub_documents(spark, sf):
+        # the corpus carries no PII, so plant 40 rows with a synthetic
+        # email + phone prefix (mirrored verbatim in the oracle SQL)
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        planted = (
+            docs.orderBy("doc_id").limit(40)
+            .withColumn("doc_id", F.col("doc_id") + 3000000)
+            .withColumn(
+                "text",
+                F.concat(F.lit("contact alice"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com or +1-555-010-1234 "),
+                         F.col("text")),
+            )
+        )
+        return pii_scrub(docs.unionByName(planted)).select(
+            "doc_id", "n_emails", "n_phones",
+            F.length("scrubbed").cast("long").alias("scrubbed_len"))
+
+    def q_repetition_ratio_documents(spark, sf):
+        return repetition_ratio(_t(spark, sf, "documents"), "doc_id") \
+            .select("doc", "top_tok_n", "n_tokens", "rep_ratio")
+
+    def q_contamination_documents(spark, sf):
+        return contamination_counts(
+            _t(spark, sf, "documents"),
+            ["spark", "customer line", "vector", "zzz-not-present"],
         )
 
     def q_jaccard_pairs_documents(spark, sf):
@@ -560,6 +592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "pii_scrub_documents": q_pii_scrub_documents,
+        "repetition_ratio_documents": q_repetition_ratio_documents,
+        "contamination_documents": q_contamination_documents,
         "ann_cosine_topk": q_ann_cosine_topk,
         "extract_documents": q_extract_documents,
         "extract_keys_documents": q_extract_keys_documents,
@@ -798,6 +833,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.2
+        """,
+        "pii_scrub_documents": """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 3000000 AS doc_id,
+                     'contact alice' || CAST(doc_id + 3000000 AS VARCHAR)
+                       || '@example.com or +1-555-010-1234 ' || text AS text
+              FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 40)
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS n_phones,
+                   length(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_len
+            FROM all_docs
+        """,
+        "repetition_ratio_documents": """
+            WITH toks AS (
+              SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), pt AS (
+              SELECT doc, tok, count(*) AS n FROM toks GROUP BY 1, 2
+            )
+            SELECT doc, max(n) AS top_tok_n, sum(n) AS n_tokens,
+                   round(max(n) * 1.0 / sum(n), 4) AS rep_ratio
+            FROM pt GROUP BY doc
+        """,
+        "contamination_documents": """
+            SELECT probe, count(*) AS n_docs
+            FROM (VALUES ('spark'), ('customer line'), ('vector'),
+                         ('zzz-not-present')) p(probe)
+            JOIN documents d ON position(probe IN d.text) > 0
+            GROUP BY probe
         """,
         "embed_neardup_exact": """
             SELECT id_a, id_b, cosine FROM (

@@ -46,9 +46,23 @@ def main() -> int:
                    help="input is a documents table; map to transcript shape")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--batch-buckets", type=int, default=8)
+    p.add_argument("--keys-file", default=None,
+                   help="character-vocabulary keys file (one key per "
+                        "line, rec.rs:55-59); out-of-vocab chars decode "
+                        "as blanks. Ship it next to the --py-files zip "
+                        "or on shared storage. The config hash in the "
+                        "lineage manifest covers the dictionary, so a "
+                        "resume with different keys refuses to mix.")
     args = p.parse_args()
 
     from sparkocr.checkpoint import run_checkpointed
+    from sparkocr.config import FLAGSHIP_CONFIG
+
+    config = FLAGSHIP_CONFIG
+    if args.keys_file:
+        from sparkocr.keys import load_keys_file
+
+        config = config.with_dictionary(load_keys_file(args.keys_file))
 
     spark = build_session("sparkocr-extract")
     df = spark.read.parquet(args.input)
@@ -60,7 +74,7 @@ def main() -> int:
             "text",
         )
     summary = run_checkpointed(
-        spark, df, args.output, input_path=args.input,
+        spark, df, args.output, input_path=args.input, config=config,
         n_buckets=args.n_buckets, batch_buckets=args.batch_buckets,
     )
     print(json.dumps(summary))

@@ -89,6 +89,76 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ASCII-only patterns on purpose: identical semantics under Java regex
+# (Spark) and RE2 (DuckDB oracle)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: redact emails and
+    international-format phone numbers, count what was redacted. Pure
+    ``regexp_count``/``regexp_replace`` — codegen'd, no Python. At
+    100 TB this is a narrow map over the scan; the counts feed the
+    corpus-quality manifest."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.regexp_count(c, F.lit(_EMAIL_RE)).cast("long"))
+        .withColumn("n_phones", F.regexp_count(c, F.lit(_PHONE_RE)).cast("long"))
+        .withColumn(
+            "scrubbed",
+            F.regexp_replace(
+                F.regexp_replace(c, _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE, "<PHONE>",
+            ),
+        )
+    )
+
+
+def repetition_ratio(df: DataFrame, key_col: str,
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signal: frequency of the single most
+    common whitespace token over the token count. Explode + two partial
+    aggregations — the per-(doc, token) count shuffles 8-byte-ish rows,
+    never the document text. Ties and casing are taken literally (no
+    normalization) so the oracle is exact."""
+    toks = (
+        _spread(df)
+        .select(F.col(key_col).alias("doc"),
+                F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    )
+    per_tok = toks.groupBy("doc", "tok").agg(F.count("*").alias("n"))
+    return (
+        per_tok.groupBy("doc")
+        .agg(
+            F.max("n").cast("long").alias("top_tok_n"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "rep_ratio",
+            F.round(F.col("top_tok_n") / F.col("n_tokens"), 4),
+        )
+    )
+
+
+def contamination_counts(df: DataFrame, probes: list[str],
+                         text_col: str = "text") -> DataFrame:
+    """Benchmark-contamination scan: how many documents contain each
+    probe string (substring match — the cheap first-pass filter before
+    an expensive n-gram overlap check). The probe list is tiny and rides
+    a broadcast nested-loop join; the corpus is scanned ONCE for all
+    probes, never once per probe."""
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame([(p,) for p in probes], "probe string")
+    return (
+        df.select(F.col(text_col).alias("__t__"))
+        .join(F.broadcast(probe_df),
+              F.instr(F.col("__t__"), F.col("probe")) > 0)
+        .groupBy("probe")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text (md5 so the DuckDB oracle can reproduce it bit-for-bit)."""

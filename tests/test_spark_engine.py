@@ -292,3 +292,47 @@ def test_keys_file_vocabulary_end_to_end(spark):
     # same turn WITHOUT the dictionary keeps the char (sanity)
     row2 = SparkOcrEngine(spark, FLAGSHIP_CONFIG).extract(df).collect()[0]
     assert oov in row2["full_text"]
+
+
+def test_pii_scrub(spark):
+    from sparkocr.analysis import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@sub.example.org and call +44-123-456-7890 ok"),
+         (2, "no pii in this one at all"),
+         (3, "two mails a@b.io c@d.co and none else")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"]) == (1, 1)
+    assert "<EMAIL>" in rows[1]["scrubbed"] and "<PHONE>" in rows[1]["scrubbed"]
+    assert "bob.smith" not in rows[1]["scrubbed"]
+    assert (rows[2]["n_emails"], rows[2]["n_phones"]) == (0, 0)
+    assert rows[2]["scrubbed"] == rows[2]["text"]
+    assert rows[3]["n_emails"] == 2
+
+
+def test_repetition_ratio(spark):
+    from sparkocr.analysis import repetition_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b"),        # top token 'a' 4/5
+         (2, "x y z w")],         # all distinct 1/4
+        "doc_id long, text string")
+    rows = {r["doc"]: r for r in repetition_ratio(df, "doc_id").collect()}
+    assert (rows[1]["top_tok_n"], rows[1]["n_tokens"], rows[1]["rep_ratio"]) \
+        == (4, 5, 0.8)
+    assert rows[2]["rep_ratio"] == 0.25
+
+
+def test_contamination_counts_broadcast(spark):
+    from sparkocr.analysis import contamination_counts
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "quick silver"), (3, "nothing")],
+        "doc_id long, text string")
+    out = contamination_counts(df, ["quick", "fox", "absent"])
+    got = {r["probe"]: r["n_docs"] for r in out.collect()}
+    assert got == {"quick": 2, "fox": 1}
+    # the probe side must ride a broadcast, not a shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
