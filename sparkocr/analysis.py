@@ -119,9 +119,13 @@ def repetition_ratio(df: DataFrame, key_col: str,
                      text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signal: frequency of the single most
     common whitespace token over the token count. Explode + two partial
-    aggregations — the per-(doc, token) count shuffles 8-byte-ish rows,
-    never the document text. Ties and casing are taken literally (no
-    normalization) so the oracle is exact."""
+    aggregations; map-side combine collapses each partition's repeats
+    before the shuffle, so shuffled volume is bounded by distinct
+    (doc, token) pairs, never the document text. Ties and casing are
+    taken literally (no normalization) so the oracle is exact; at
+    100 TB, group on ``xxhash64(tok)`` instead of the token string to
+    shuffle 8-byte keys (hash collisions merging two tokens of one doc
+    are harmless at the signal's precision)."""
     toks = (
         _spread(df)
         .select(F.col(key_col).alias("doc"),
