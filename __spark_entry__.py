@@ -254,6 +254,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fingerprint", "n_dups", "keeper"
         )
 
+    def q_bpe_token_count_documents(spark, sf):
+        from sparkocr.analysis import with_bpe_token_count
+
+        return with_bpe_token_count(_t(spark, sf, "documents")).select(
+            "doc_id", "n_bpe_tokens")
+
+    def q_ivf_topk_embeddings(spark, sf):
+        from sparkocr.ann import ivf_topk
+
+        emb = _t(spark, sf, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+        return ivf_topk(emb, list(qv), dim=len(qv), k=10, nlist=16, nprobe=4)
+
     def q_pii_scrub_documents(spark, sf):
         # the corpus carries no PII, so plant 40 rows with a synthetic
         # email + phone prefix (mirrored verbatim in the oracle SQL)
@@ -592,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "bpe_token_count_documents": q_bpe_token_count_documents,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "pii_scrub_documents": q_pii_scrub_documents,
         "repetition_ratio_documents": q_repetition_ratio_documents,
         "contamination_documents": q_contamination_documents,
@@ -666,6 +681,7 @@ GOLDEN_ORACLE_QUERIES = [
     "simhash_documents",
     "simhash_neardup_documents",
     "lsh_topk_embeddings",
+    "ivf_topk_embeddings",
     "embed_neardup_lsh",
     "layout_regions_documents",
     "extract_route_documents",
@@ -833,6 +849,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.2
+        """,
+        "bpe_token_count_documents": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                       AS n_bpe_tokens
+            FROM documents
         """,
         "pii_scrub_documents": """
             WITH all_docs AS (

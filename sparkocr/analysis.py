@@ -36,6 +36,27 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: the GPT-2-style word/number/punct split WITHOUT
+# lookaheads or unicode classes, so Java regex (Spark) and RE2 (DuckDB
+# oracle) agree byte-for-byte. Contractions first so "don't" → 3 pieces.
+_BPE_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+)
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Subword-style token count: how many BPE pre-tokenizer pieces the
+    text splits into (words, numbers, punctuation runs, contraction
+    suffixes; bare whitespace is not a piece) — the usual "how many
+    tokens will training see" estimate, next to the cruder whitespace
+    count. Pure ``regexp_count`` (codegen, no Python)."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.regexp_count(F.col(text_col), F.lit(_BPE_RE)).cast("long"),
+    )
+
+
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic quality features: token count, stopword count/ratio,
     punctuation count, mean token length — the length/punct/stopword

@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -133,6 +134,101 @@ def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 12,
         bit = (_dot(F.col(vec_col), pj) > 0).cast("long")
         bucket = bucket + F.shiftleft(bit, j)
     return df.withColumn("bucket", bucket)
+
+
+def _seed_centroids(df: DataFrame, nlist: int, id_col: str,
+                    vec_col: str) -> np.ndarray:
+    """Deterministic seed centroids: the nlist vectors with the smallest
+    xxhash64(id) — a fixed pseudo-random sample, no RNG state."""
+    rows = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(nlist)
+        .collect()
+    )
+    return np.array([list(r["v"]) for r in rows], dtype=np.float64)
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Vectorized nearest-centroid assignment by cosine (pandas UDF —
+    numpy matmul beats an nlist×dim Catalyst literal tree at any real
+    dim; the centroid matrix rides the closure, broadcast-sized)."""
+    from pyspark.sql.types import IntegerType
+
+    C = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ C.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_index(
+    df: DataFrame,
+    dim: int,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, DataFrame]:
+    """IVF coarse quantizer: deterministic seed centroids refined with
+    ``iters`` Lloyd steps, every heavy step a DataFrame aggregation.
+
+    Per iteration: assign (vectorized pandas UDF) → per-(list, dim)
+    mean via posexplode + partial-agg groupBy (only (int, int, double)
+    rows shuffle, never the vectors) → the nlist×dim centroid table
+    (tiny by construction) comes back to the driver. Centroid means are
+    rounded to 6 dp so double summation order cannot make assignment —
+    and therefore the committed oracle pin — nondeterministic. At
+    100 TB, write the assigned table bucketed by ``list_id``: a query
+    then reads ``nprobe`` buckets, not the corpus.
+
+    Returns (centroids, df + ``list_id``)."""
+    cents = _seed_centroids(df, nlist, id_col, vec_col)
+    for _ in range(iters):
+        assigned = df.withColumn("list_id", _assign_udf(cents)(F.col(vec_col)))
+        rows = (
+            assigned.select("list_id",
+                            F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            new[r["list_id"], r["pos"]] = r["m"]
+        cents = new
+    assigned = df.withColumn("list_id", _assign_udf(cents)(F.col(vec_col)))
+    return cents, assigned
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``nprobe`` inverted lists
+    whose centroids are nearest the query (the standard IVF recall/cost
+    dial; ``nprobe == nlist`` degenerates to exact brute force)."""
+    cents, assigned = ivf_index(df, dim, nlist, iters, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    Cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    sims = Cn @ qn
+    probes = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    pruned = assigned.where(F.col("list_id").isin(probes))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
 def lsh_topk(

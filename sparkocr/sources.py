@@ -145,6 +145,21 @@ def write_debug_html(result: DataFrame, location: str,
         f.write("\n".join(parts))
 
 
+def to_arrow(result: DataFrame, limit: int | None = None):
+    """S8 C-ABI-sink parity (capi.rs hands rows across an FFI boundary):
+    the Python-native analog is the Arrow C data interface — return the
+    ordered result as a ``pyarrow.Table``, zero-copy consumable by any
+    Arrow-speaking runtime (DuckDB, polars, a C++ consumer via the C
+    stream interface). Driver-side materialization: cap with ``limit``
+    or aggregate first; the DATA path stays in Spark — this is the
+    hand-off at the end, exactly like the reference's C ABI."""
+    out = (ordered(result)
+           if {"conv_id", "turn_idx"} <= set(result.columns) else result)
+    if limit is not None:
+        out = out.limit(limit)
+    return out.toArrow()
+
+
 def write_text(result: DataFrame, location: str) -> None:
     """Text sink (S5 parity, main.rs:199-208): full_text per turn in
     stable order."""

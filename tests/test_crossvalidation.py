@@ -121,3 +121,32 @@ def test_minhash_contains_all_exact_duplicates(spark, docs):
         twin = r["doc_id"] + 5000000
         if n_tok[twin] >= 2:  # docs with <2 tokens have no shingles
             assert got.get((r["doc_id"], twin)) == 1.0, r["doc_id"]
+
+
+def test_ivf_full_probe_equals_exact_and_is_deterministic(spark):
+    """IVF with nprobe == nlist degenerates to exact brute force — the
+    approximate index must then reproduce cosine_topk exactly; partial
+    probing keeps a sane recall and is run-to-run deterministic (seeded
+    centroids, rounded Lloyd means)."""
+    from pyspark.sql import functions as F
+
+    from sparkocr.ann import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = list(emb.where(F.col("vec_id") == 1).select("embedding").head()[0])
+    dim = len(qv)
+    exact = [(r["vec_id"], r["cosine"])
+             for r in cosine_topk(emb, qv, k=10).collect()]
+    full = [(r["vec_id"], r["cosine"])
+            for r in ivf_topk(emb, qv, dim=dim, k=10,
+                              nlist=8, nprobe=8).collect()]
+    assert full == exact
+    a = [(r["vec_id"], r["cosine"])
+         for r in ivf_topk(emb, qv, dim=dim, k=10,
+                           nlist=16, nprobe=4).collect()]
+    b = [(r["vec_id"], r["cosine"])
+         for r in ivf_topk(emb, qv, dim=dim, k=10,
+                           nlist=16, nprobe=4).collect()]
+    assert a == b
+    recall = len({x for x, _ in a} & {x for x, _ in exact}) / 10
+    assert recall >= 0.3, recall

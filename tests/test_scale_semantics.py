@@ -105,3 +105,22 @@ def test_debug_html_sink(spark, skewed, tmp_path):
     h = debug_html("a<b> C D </b>e", [
         {"start": 4, "end": 8, "block_type": "prose"}])
     assert "&lt;b&gt;" in h and "<mark" in h and " C D" in h
+
+
+def test_to_arrow_handoff(spark):
+    """S8 parity: the ordered result hands off as a pyarrow.Table
+    (the Arrow C-data analog of the reference's C-ABI sink)."""
+    import pyarrow as pa
+
+    from sparkocr.engine import SparkOcrEngine
+    from sparkocr.fixtures import turns_pandas
+    from sparkocr.sources import to_arrow
+
+    df = spark.createDataFrame(turns_pandas(seed=3, n_convs=2))
+    out = SparkOcrEngine(spark).extract(df) \
+        .select("conv_id", "turn_idx", "n_blocks", "full_text")
+    tbl = to_arrow(out, limit=10)
+    assert isinstance(tbl, pa.Table)
+    assert tbl.num_rows == 10
+    keys = list(zip(tbl["conv_id"].to_pylist(), tbl["turn_idx"].to_pylist()))
+    assert keys == sorted(keys)  # ordered handoff
