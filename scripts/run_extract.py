@@ -46,6 +46,14 @@ def main() -> int:
                    help="input is a documents table; map to transcript shape")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--batch-buckets", type=int, default=8)
+    p.add_argument("--mode", default="parquet",
+                   choices=("parquet", "text", "json", "debug"),
+                   help="output sink (CLI parity with the reference's "
+                        "--mode, main.rs:199-208): parquet = the "
+                        "checkpointed table only; text/json/debug "
+                        "additionally render the extracted result "
+                        "through the matching sink under "
+                        "<output>/render")
     p.add_argument("--keys-file", default=None,
                    help="character-vocabulary keys file (one key per "
                         "line, rec.rs:55-59); out-of-vocab chars decode "
@@ -77,6 +85,25 @@ def main() -> int:
         spark, df, args.output, input_path=args.input, config=config,
         n_buckets=args.n_buckets, batch_buckets=args.batch_buckets,
     )
+    if args.mode != "parquet":
+        import os
+
+        from sparkocr.sources import (
+            write_debug_html,
+            write_json_blocks,
+            write_text,
+        )
+
+        result = spark.read.parquet(os.path.join(args.output, "data"))
+        render = os.path.join(args.output, "render")
+        if args.mode == "text":
+            write_text(result, render)
+        elif args.mode == "json":
+            write_json_blocks(
+                result.select("conv_id", "turn_idx", "n_blocks",
+                              "blocks", "full_text"), render)
+        else:
+            write_debug_html(result, render, text_df=df)
     print(json.dumps(summary))
     spark.stop()
     return 0

@@ -160,6 +160,8 @@ def _assign_udf(centroids: np.ndarray):
 
     @F.pandas_udf(IntegerType())
     def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="int32")
         M = np.stack(v.to_numpy()).astype(np.float64)
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         sims = M @ C.T

@@ -126,3 +126,27 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
         assert "Exchange" not in plan  # bucket layout replaces the shuffle
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_new_text_ops_stay_in_codegen(spark, sf):
+    """pii_scrub / bpe_token_count / pii counters are pure regexp
+    expressions — no Python evaluation node may appear in their plans."""
+    from sparkocr.analysis import pii_scrub, with_bpe_token_count
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    for df in (pii_scrub(docs), with_bpe_token_count(docs)):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
+
+
+def test_repetition_ratio_map_side_combine(spark, sf):
+    """The (doc, token) count must partial-aggregate before its
+    exchange — shuffled volume is distinct pairs, not raw tokens."""
+    from sparkocr.analysis import repetition_ratio
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = _plan(repetition_ratio(docs, "doc_id"))
+    assert "partial_count" in plan
+    assert plan.index("partial_count") > plan.index("Exchange")
