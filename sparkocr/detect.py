@@ -98,19 +98,27 @@ def line_scores(grid: TurnGrid) -> np.ndarray:
     vis_ns = ~mk & ~ws
     an = anchor_mask(grid.text, grid.opq)
 
-    n_text = np.bincount(line_id[vis_ns], minlength=n_lines).astype(np.float64)
-    n_markup = np.bincount(line_id[mk], minlength=n_lines).astype(np.float64)
-    n_anchor = np.bincount(line_id[an & vis_ns], minlength=n_lines).astype(np.float64)
+    if not mk.any() and not an.any():
+        # fast path — no markup, no anchors (plain-text turns): density
+        # is 1 wherever the line has any visible character, so the score
+        # is exactly 255 or 0. Equivalent to the general formula below
+        # with n_markup = n_anchor = 0.
+        n_text_i = np.bincount(line_id[vis_ns], minlength=n_lines)
+        score = np.where(n_text_i > 0, np.int64(255), np.int64(0))
+    else:
+        n_text = np.bincount(line_id[vis_ns], minlength=n_lines).astype(np.float64)
+        n_markup = np.bincount(line_id[mk], minlength=n_lines).astype(np.float64)
+        n_anchor = np.bincount(line_id[an & vis_ns], minlength=n_lines).astype(np.float64)
 
-    text_density = np.divide(
-        n_text, n_text + MARKUP_WEIGHT * n_markup,
-        out=np.zeros(n_lines), where=n_text > 0,
-    )
-    link_density = np.divide(
-        n_anchor, np.maximum(n_text, 1.0), out=np.zeros(n_lines), where=n_text > 0
-    )
-    score = np.minimum((text_density * (1.0 - link_density) * 255.0), 255.0)
-    score = score.astype(np.int64)
+        text_density = np.divide(
+            n_text, n_text + MARKUP_WEIGHT * n_markup,
+            out=np.zeros(n_lines), where=n_text > 0,
+        )
+        link_density = np.divide(
+            n_anchor, np.maximum(n_text, 1.0), out=np.zeros(n_lines), where=n_text > 0
+        )
+        score = np.minimum((text_density * (1.0 - link_density) * 255.0), 255.0)
+        score = score.astype(np.int64)
     for y, ln in enumerate(grid.lines):
         # exact fast gate: both boiler alternatives need '[' or '='
         if score[y] > 0 and ("[" in ln or "=" in ln) and is_boiler_line(ln):

@@ -130,6 +130,21 @@ def decode(
     cls[high] = 1
     cls[borderline] = 2
 
+    if not np.any(cls != 1):
+        # fast path — every position HIGH (the common case: a clean
+        # prose crop, no blanks/markup/borderline): the previous
+        # state-changing position is simply i-1, so the repeat rule
+        # reduces to one shifted comparison. Exactly equivalent to the
+        # general machine below when cls is all ones.
+        dup_f = np.zeros(n, dtype=bool)
+        dup_f[1:] = (cp[1:] == cp[:-1]) & ~punct[1:]
+        e_cp = cp[~dup_f]
+        e_sc = scores[~dup_f]
+        e_punct = punct[~dup_f]
+        keep = np.ones(len(e_cp), dtype=bool)
+        keep[1:] = ~(e_punct[1:] & (e_cp[1:] == e_cp[:-1]))
+        return e_cp[keep], e_sc[keep]
+
     state_idx = np.flatnonzero(cls != 2)
     if state_idx.size:
         k = np.searchsorted(state_idx, np.arange(n), side="left") - 1
