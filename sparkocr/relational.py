@@ -89,6 +89,7 @@ def interval_overlap_join(
         F.col(key_col).alias("k"),
         F.col(start_col).alias("s"),
         F.col(end_col).alias("e"),
+        F.floor((F.col(start_col) - slack) / band).alias("b0"),
         F.explode(
             F.sequence(
                 F.floor((F.col(start_col) - slack) / band),
@@ -97,17 +98,21 @@ def interval_overlap_join(
         ).alias("band"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # dedupe WITHOUT a shuffle: a pair sharing several buckets exits the
+    # equi-join once per shared bucket; each interval's bucket range is
+    # contiguous, so the FIRST shared bucket is max(b0_a, b0_b) — keep
+    # only that row (map-side filter replacing a dropDuplicates exchange)
     return (
         a.join(b, ["band"])
         .where(
             (F.col("a.k") < F.col("b.k"))
             & (F.col("a.s") - slack <= F.col("b.e"))
             & (F.col("b.s") - slack <= F.col("a.e"))
+            & (F.col("band") == F.greatest(F.col("a.b0"), F.col("b.b0")))
         )
         .select(
             F.col("a.k").alias("k_a"), F.col("b.k").alias("k_b"),
             F.col("a.s").alias("s_a"), F.col("a.e").alias("e_a"),
             F.col("b.s").alias("s_b"), F.col("b.e").alias("e_b"),
         )
-        .dropDuplicates(["k_a", "k_b"])
     )

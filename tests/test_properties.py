@@ -83,3 +83,19 @@ def test_merge_reaches_fixpoint_and_shrinks(boxes, thr):
             and m.right >= b.right and m.bottom >= b.bottom
             for m in merged
         )
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts)
+def test_box_span_equals_crop_box_offsets(text):
+    """The cheap span path and the materializing crop path must agree on
+    every detected box for arbitrary ragged input (review finding: the
+    unclamped end bled past short last lines)."""
+    from sparkocr.detect import box_span
+
+    grid = TurnGrid(text)
+    for cfg in (DEFAULT_CONFIG, FLAGSHIP_CONFIG):
+        for b in find_text_boxes(grid, cfg):
+            _, start, end = crop_box(grid, b)
+            assert box_span(grid, b) == (start, end)
+            assert 0 <= start <= end <= len(grid.text)
