@@ -254,6 +254,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fingerprint", "n_dups", "keeper"
         )
 
+    def q_length_percentiles_documents(spark, sf):
+        from sparkocr.analysis import length_percentiles
+
+        return length_percentiles(_t(spark, sf, "documents")).select(
+            "source", "n", "p50", "p90", "p99", "v_max")
+
+    def q_stratified_sample_documents(spark, sf):
+        from sparkocr.analysis import stratified_sample
+
+        return stratified_sample(_t(spark, sf, "documents"), k=10) \
+            .select("source", "doc_id")
+
+    def q_hash_split_documents(spark, sf):
+        from sparkocr.analysis import hash_split
+
+        return hash_split(_t(spark, sf, "documents")) \
+            .groupBy("split").agg(F.count("*").cast("long").alias("n_docs"))
+
     def q_bpe_token_count_documents(spark, sf):
         from sparkocr.analysis import with_bpe_token_count
 
@@ -605,6 +623,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "length_percentiles_documents": q_length_percentiles_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "hash_split_documents": q_hash_split_documents,
         "bpe_token_count_documents": q_bpe_token_count_documents,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "pii_scrub_documents": q_pii_scrub_documents,
@@ -849,6 +870,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.2
+        """,
+        "length_percentiles_documents": """
+            SELECT source, count(*) AS n,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99,
+                   max(n_chars) AS v_max
+            FROM documents GROUP BY source
+        """,
+        "stratified_sample_documents": """
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 10
+        """,
+        "hash_split_documents": """
+            SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                        THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                        THEN 'val' ELSE 'test' END AS split,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
         """,
         "bpe_token_count_documents": """
             SELECT doc_id,

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -189,6 +189,56 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     text (md5 so the DuckDB oracle can reproduce it bit-for-bit)."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def length_percentiles(df: DataFrame, key_col: str = "source",
+                       value_col: str = "n_chars") -> DataFrame:
+    """Per-group length distribution (p50/p90/p99 + count) — the corpus
+    composition report every pretraining pipeline prints. Uses EXACT
+    interpolated percentiles (matches DuckDB ``quantile_cont`` so the
+    oracle is bit-exact); at 100 TB swap ``percentile`` for
+    ``approx_percentile(…, accuracy)`` — same plan shape, bounded
+    memory, no full sort per group."""
+    v = F.col(value_col)
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.expr(f"percentile({value_col}, 0.5)"), 4).alias("p50"),
+            F.round(F.expr(f"percentile({value_col}, 0.9)"), 4).alias("p90"),
+            F.round(F.expr(f"percentile({value_col}, 0.99)"), 4).alias("p99"),
+            F.max(v).cast("long").alias("v_max"),
+        )
+    )
+
+
+def stratified_sample(df: DataFrame, key_col: str = "source",
+                      id_col: str = "doc_id", k: int = 10) -> DataFrame:
+    """Deterministic per-group sample: the ``k`` rows with the smallest
+    ``md5(id)`` per group — a seedless, machine-independent "random"
+    sample (md5 is uniform in the id), reproducible by any engine.
+    Window per group; groups are typically few and k small, so the sort
+    is bounded — for huge groups pre-filter on an md5 prefix first."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment from the first hex char
+    of ``md5(id)``: '0'-'b' → train (75%), 'c'-'d' → val (12.5%),
+    'e'-'f' → test (12.5%). Pure expression, no RNG state — the same
+    row lands in the same split on every engine and every run, the
+    property a reproducible corpus split needs."""
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    return df.withColumn(
+        "split",
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test"),
+    )
 
 
 # ---------------------------------------------------------------------------

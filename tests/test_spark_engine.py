@@ -336,3 +336,27 @@ def test_contamination_counts_broadcast(spark):
     # the probe side must ride a broadcast, not a shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_stratified_sample_and_hash_split_deterministic(spark):
+    from sparkocr.analysis import hash_split, stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", f"text {i}") for i in range(200)],
+        "doc_id long, source string, text string")
+    s1 = {(r["source"], r["doc_id"])
+          for r in stratified_sample(docs, k=5).collect()}
+    s2 = {(r["source"], r["doc_id"])
+          for r in stratified_sample(docs, k=5).collect()}
+    assert s1 == s2 and len(s1) == 15
+    # per-group exactly k
+    from collections import Counter
+    assert set(Counter(src for src, _ in s1).values()) == {5}
+
+    splits = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert set(splits.values()) == {"train", "val", "test"}
+    # deterministic across calls and roughly 75/12.5/12.5
+    again = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert splits == again
+    n_train = sum(1 for v in splits.values() if v == "train")
+    assert 0.6 < n_train / len(splits) < 0.9
