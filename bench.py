@@ -135,6 +135,30 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _wait_for_quiet(max_wait_s: int = 180, threshold: float = 2.0) -> None:
+    """This shared box carries bursty external load (observed 1-min
+    load-avg spikes to 8+ for minutes at a time, inflating the
+    contention-sensitive dedup queries 2-5×). Measurement hygiene: wait
+    for the 1-minute load average to fall below ``threshold`` before
+    timing, bounded to ``max_wait_s`` so a busy box still produces a
+    (flagged) result."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        try:
+            with open("/proc/loadavg") as f:
+                load1 = float(f.read().split()[0])
+        except OSError:
+            return
+        if load1 < threshold:
+            if time.time() - t0 > 1:
+                _log(f"bench: waited {time.time() - t0:.0f}s for quiet "
+                     f"(load {load1:.2f})")
+            return
+        time.sleep(10)
+    _log("bench: proceeding despite load (waited max); timings may be "
+         "inflated by external activity")
+
+
 def run_headline() -> tuple[dict[str, float], float]:
     import __spark_entry__ as entrymod
     from sparkocr.session import get_spark
@@ -151,11 +175,11 @@ def run_headline() -> tuple[dict[str, float], float]:
         if name not in qs:
             continue
         try:
-            # best-of-2: this box carries unpredictable background load
-            # (observed idle load-avg ~6), which can triple a single
-            # sample; the min of two runs is a far stabler estimate
+            # best-of-3: this box carries unpredictable background load
+            # (observed load-avg bursts to 8+), which can triple a
+            # single sample; the min of three runs is a stabler estimate
             best, n = None, 0
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 n = qs[name](spark, SF_DIR).count()
                 dt = time.time() - t0
@@ -253,6 +277,7 @@ def _run_cohort(n_execs: int = 8, n_small: int = 2, cores_per: int = 1,
 
 def run_scaling() -> dict:
     w = SCALING_CORES
+    _wait_for_quiet()
     r = _run_cohort(n_execs=8, n_small=2, cores_per=w)
     if not r:
         return {}
@@ -323,6 +348,7 @@ def write_baseline_md(result: dict) -> None:
 
 
 def main() -> None:
+    _wait_for_quiet()
     timings, total = run_headline()
     result = {
         "metric": "headline query wall time (sum) + extraction scaling",
