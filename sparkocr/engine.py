@@ -336,3 +336,35 @@ def get_instance() -> SparkOcrEngine:
             "(EngineError analog, error.rs:47-50)"
         )
     return _INSTANCE
+
+
+# module-level singleton verbs (the engine.rs free-function surface:
+# `ocr::process_ocr(img)` etc. delegate to the initialized manager) —
+# each raises the not-initialized error until initialize() has run
+
+def process_ocr(df: DataFrame, **kw) -> DataFrame:
+    return get_instance().extract(df, **kw)
+
+
+def process_ocr_efficient(df: DataFrame, **kw) -> DataFrame:
+    return get_instance().extract_fast(df, **kw)
+
+
+def detect_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return get_instance().blocks(df, text_col)
+
+
+def get_text_rects(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return get_instance().spans(df, text_col)
+
+
+def get_text_images(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return get_instance().blocks(df, text_col)
+
+
+def get_text_images_efficient(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return get_instance().blocks_fast(df, text_col)
+
+
+def recognize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return get_instance().recognize(df, text_col)

@@ -360,3 +360,31 @@ def test_stratified_sample_and_hash_split_deterministic(spark):
     assert splits == again
     n_train = sum(1 for v in splits.values() if v == "train")
     assert 0.6 < n_train / len(splits) < 0.9
+
+
+def test_module_level_singleton_verbs(spark):
+    """engine.rs free-function parity: the 7 verbs as module functions
+    over the initialized singleton; uninitialized use raises."""
+    import sparkocr.engine as eng_mod
+
+    old = eng_mod._INSTANCE
+    eng_mod._INSTANCE = None
+    try:
+        with pytest.raises(RuntimeError):
+            eng_mod.process_ocr(spark.createDataFrame(
+                [("c", 0, "hi there friend")],
+                "conv_id string, turn_idx int, text string"))
+        eng_mod.initialize(spark)
+        df = spark.createDataFrame(
+            [("c", 0, "a plain prose sentence for the verbs")],
+            "conv_id string, turn_idx int, text string")
+        assert eng_mod.process_ocr(df).collect()[0]["n_blocks"] == 1
+        assert len(eng_mod.get_text_rects(df).collect()[0]["boxes"]) == 1
+        assert len(eng_mod.get_text_images(df).collect()[0]["crops"]) == 1
+        assert eng_mod.recognize_text(df).collect()[0]["recognized"]["text"]
+        assert eng_mod.process_ocr_efficient(df).collect()[0]["n_blocks"] == 1
+        assert len(eng_mod.get_text_images_efficient(df)
+                   .collect()[0]["crops"]) == 1
+        assert len(eng_mod.detect_text(df).collect()[0]["crops"]) == 1
+    finally:
+        eng_mod._INSTANCE = old
