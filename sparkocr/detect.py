@@ -138,6 +138,24 @@ def find_text_boxes(
     transcript turns (short texts — the fixed cost of full-array passes
     exceeds the loop it saves; only lines above threshold do any work
     here)."""
+    text = grid.text
+    if "\n" not in text and "<" not in text and "\x1b" not in text:
+        # exact fast path — a single line with no markup/anchors (the
+        # common chat-message turn): density is 1 wherever visible text
+        # exists, so the whole cascade reduces to the trimmed run. The
+        # general path below computes precisely this for such input.
+        if ("[" in text or "=" in text) and is_boiler_line(text):
+            return []
+        c0 = len(text) - len(text.lstrip(" \t"))      # ws = {tab, space}
+        c1 = len(text.rstrip(" \t")) - 1
+        if c1 - c0 <= MIN_BOX_SIZE:
+            return []
+        border = config.rect_border_size
+        left = max(c0 - border, 0)
+        right = min(c1 + border, len(text) - 1)
+        top = max(GLYPH_TOP - border, 0)
+        bottom = min(GLYPH_BOTTOM + border, grid.grid_h - 1)
+        return [Box(left, top, right - left + 1, bottom - top + 1)]
     scores = line_scores(grid)
     on = scores > THRESHOLD
     border = config.rect_border_size

@@ -84,7 +84,9 @@ def markup_mask(text: str, opaque: np.ndarray | None = None) -> np.ndarray:
     probability map (det.rs:339-346): markup never contributes to a
     detected region.
     """
-    mask = (opaque_mask(text) if opaque is None else opaque).copy()
+    # opaque_mask returns a fresh array — only a caller-supplied mask
+    # needs the defensive copy
+    mask = opaque_mask(text) if opaque is None else opaque.copy()
     if "<" in text:  # exact gate: every tag match contains '<'
         for m in _TAG_RE.finditer(text):
             mask[m.start() : m.end()] = True
@@ -194,12 +196,17 @@ def char_scores(text: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
     scores[word | space | nl] = SCORE_WORD
     scores[punct] = SCORE_PUNCT
-    # punctuation adjacent to a markup span → borderline confidence
-    # (exercises the rec.rs:373-377 branch: kept, last_char untouched)
-    adj = np.zeros(n, dtype=bool)
-    adj[:-1] |= mk[1:]
-    adj[1:] |= mk[:-1]
-    scores[punct & adj & ~mk] = SCORE_EDGE_PUNCT
-    scores[mk] = SCORE_MARKUP
-    blank = ctrl & ~mk
+    if mk.any():
+        # punctuation adjacent to a markup span → borderline confidence
+        # (exercises the rec.rs:373-377 branch: kept, last_char
+        # untouched). With no markup, adj is all-false and these three
+        # writes are no-ops — skipped.
+        adj = np.zeros(n, dtype=bool)
+        adj[:-1] |= mk[1:]
+        adj[1:] |= mk[:-1]
+        scores[punct & adj & ~mk] = SCORE_EDGE_PUNCT
+        scores[mk] = SCORE_MARKUP
+        blank = ctrl & ~mk
+    else:
+        blank = ctrl
     return cp, scores, blank

@@ -99,3 +99,26 @@ def test_box_span_equals_crop_box_offsets(text):
             _, start, end = crop_box(grid, b)
             assert box_span(grid, b) == (start, end)
             assert 0 <= start <= end <= len(grid.text)
+
+
+_single_line_chunks = st.sampled_from([
+    "hello world", "a", " ", "\t", "…", "。", "|", "x" * 40, '"',
+    "0123456789", "轻舟已过万重山", "[PAGE 3]", "=== PAGE 4 ===",
+    "[HEADER]", "- item", "  lots of padding  ", "!!", "done.",
+])
+single_line_texts = st.lists(
+    _single_line_chunks, min_size=0, max_size=12).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(single_line_texts)
+def test_single_line_fast_path_matches_general_path(text):
+    """The single-line/no-markup detection fast path must be
+    byte-equivalent to the general cascade. Forcing the general path by
+    appending a newline (an empty second line contributes no box and,
+    with border ≤ 16, does not change the first line's clamps)."""
+    assert "\n" not in text and "<" not in text and "\x1b" not in text
+    for cfg in (DEFAULT_CONFIG, FLAGSHIP_CONFIG):
+        fast = find_text_boxes(TurnGrid(text), cfg)
+        general = find_text_boxes(TurnGrid(text + "\n"), cfg)
+        assert fast == general, (text, fast, general)
