@@ -396,6 +396,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return interval_overlap_join(iv, "k", threshold=2, band=64)
 
+    def q_sessionize_events(spark, sf):
+        from sparkocr.relational import sessionize
+
+        ev = sessionize(_t(spark, sf, "events"), by="user_id",
+                        ts_col="ts", gap_seconds=1800,
+                        order_tiebreak="event_id")
+        return (
+            ev.groupBy("user_id", "session_id")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.min("event_id").alias("first_event"))
+        )
+
     def q_cube_lineitem(spark, sf):
         return (
             _t(spark, sf, "lineitem")
@@ -649,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": q_rollup_orders,
         "cube_lineitem": q_cube_lineitem,
         "asof_join_events": q_asof_join_events,
+        "sessionize_events": q_sessionize_events,
         "interval_join_events": q_interval_join_events,
         "except_nations": q_except_nations,
         "doc_pages_documents": q_doc_pages_documents,
@@ -977,6 +990,25 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "sessionize_events": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                            - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800 THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ), s AS (
+              SELECT user_id, event_id,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(event_id) AS first_event
+            FROM s GROUP BY user_id, session_id
         """,
         "interval_join_events": """
             WITH iv AS (

@@ -69,6 +69,39 @@ def asof_join(
     return u.where(F.col("__side") == 1).drop("__side", "__tb", "__rv")
 
 
+def sessionize(
+    df: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: rows of one ``by`` key belong to the
+    same session while consecutive timestamps are within
+    ``gap_seconds``; a larger gap starts a new session. Adds a dense
+    ``session_id`` (0-based per key, ordered by time).
+
+    One window over (by, ts): the new-session flag is
+    ``ts - lag(ts) > gap``, and the running sum of flags numbers the
+    sessions — one shuffle on the key, no self-join. The transcript
+    use: splitting a long conversation into activity episodes before
+    per-session metrics."""
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    w = Window.partitionBy(by).orderBy(*order)
+    # NTZ columns can't cast straight to long under ANSI; going through
+    # TIMESTAMP first is exact (session timezone is pinned to UTC)
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_sess = F.when(gap.isNull() | (gap <= gap_seconds), 0).otherwise(1)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+
+
 def interval_overlap_join(
     df: DataFrame,
     key_col: str,

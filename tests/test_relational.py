@@ -75,3 +75,30 @@ def test_asof_join_latest_right_row_with_null_value(spark):
         "event_id long, user_id long, ts timestamp, value double")
     [row] = asof_join(ldf, rdf, right_cols=("value",), tiebreak="event_id").collect()
     assert row["value_asof"] is None
+
+
+def test_sessionize_gap_semantics(spark):
+    from sparkocr.relational import sessionize
+
+    rows = [
+        ("u1", 1, "2024-01-01 10:00:00"),
+        ("u1", 2, "2024-01-01 10:10:00"),   # 600s gap -> same session
+        ("u1", 3, "2024-01-01 11:00:00"),   # 3000s gap -> new session
+        ("u1", 4, "2024-01-01 11:01:00"),
+        ("u2", 5, "2024-01-01 10:00:00"),   # separate key
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, ts string") \
+        .selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) ts")
+    got = {r["event_id"]: r["session_id"]
+           for r in sessionize(df, gap_seconds=1800,
+                               order_tiebreak="event_id").collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+    # boundary: exactly gap_seconds stays in-session, gap+1 splits
+    rows2 = [("u", 1, "2024-01-01 10:00:00"), ("u", 2, "2024-01-01 10:30:00"),
+             ("u", 3, "2024-01-01 11:00:01")]
+    df2 = spark.createDataFrame(rows2, "user_id string, event_id long, ts string") \
+        .selectExpr("user_id", "event_id", "CAST(ts AS TIMESTAMP) ts")
+    got2 = {r["event_id"]: r["session_id"]
+            for r in sessionize(df2, gap_seconds=1800,
+                                order_tiebreak="event_id").collect()}
+    assert got2 == {1: 0, 2: 0, 3: 1}
