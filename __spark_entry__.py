@@ -59,20 +59,16 @@ def _as_transcripts(docs: DataFrame) -> DataFrame:
     keyed by source). The small test parquet arrives as ONE scan split,
     which would serialize the extraction UDF on a single core — the
     round-robin repartition is the same rebalance a salted repartition
-    performs on a skewed production scan. Gated on the actual scan split
-    count (round-1 review finding): a production scan that already has
-    enough splits must NOT pay a full shuffle of the text payload before
-    a narrow map."""
-    spread = docs.sparkSession.sparkContext.defaultParallelism
-    out = docs.select(
+    performs on a skewed production scan. The gating policy lives in ONE
+    place — ``sparkocr.analysis.spread_small_scan``."""
+    from sparkocr.analysis import spread_small_scan
+
+    return spread_small_scan(docs.select(
         F.col("source").alias("conv_id"),
         F.col("doc_id").cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
         "text",
-    )
-    if docs.rdd.getNumPartitions() < spread:
-        out = out.repartition(spread)
-    return out
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -547,10 +543,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from sparkocr.keys import load_keys_file
 
         keys_path = "/root/reference/models/ppocr_keys_v5.txt"
-        if not os.path.exists(keys_path):  # foreign environment fallback
-            keys = tuple(chr(c) for c in range(0x20, 0x7F)) + ("\n",)
-        else:
-            keys = load_keys_file(keys_path)
+        if not os.path.exists(keys_path):
+            # fail FAST and loud: the committed oracle pin was built
+            # with the full 18k-key vocabulary — a silent fallback
+            # vocabulary would hash-mismatch and masquerade as an
+            # engine regression (review finding)
+            raise FileNotFoundError(
+                f"keys file {keys_path} not found — extract_keys_documents "
+                "requires the reference checkout; its oracle pin is tied "
+                "to that exact vocabulary")
+        keys = load_keys_file(keys_path)
         eng = SparkOcrEngine(spark, FLAGSHIP_CONFIG.with_dictionary(keys))
         out = eng.extract(_as_transcripts(_t(spark, sf, "documents")))
         return ordered(out).select("conv_id", "turn_idx", "n_blocks",
@@ -912,7 +914,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count_documents": """
             SELECT doc_id,
                    len(regexp_extract_all(text,
-                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f\x0b]+'))
                        AS n_bpe_tokens
             FROM documents
         """,

@@ -277,7 +277,12 @@ def _run_cohort(n_execs: int = 8, n_small: int = 2, cores_per: int = 1,
 
 def run_scaling() -> dict:
     w = SCALING_CORES
-    _wait_for_quiet()
+    # no _wait_for_quiet() here: right after the 32-core headline phase
+    # the 1-min load average reflects OUR OWN work (~8) and would stall
+    # the threshold for minutes (review finding). A short fixed cooldown
+    # lets the worst self-load decay; the cohort's own warm-up pass and
+    # the per-executor self-ratio estimator absorb the rest.
+    time.sleep(20)
     r = _run_cohort(n_execs=8, n_small=2, cores_per=w)
     if not r:
         return {}

@@ -39,9 +39,12 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 # BPE-ish pre-tokenizer: the GPT-2-style word/number/punct split WITHOUT
 # lookaheads or unicode classes, so Java regex (Spark) and RE2 (DuckDB
 # oracle) agree byte-for-byte. Contractions first so "don't" → 3 pieces.
+# The whitespace set is spelled out explicitly because `\s` itself
+# diverges between the engines (Java \s includes \x0b, RE2's does not —
+# a review-caught oracle-hash hazard on vertical-tab input).
 _BPE_RE = (
     r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f\x0b]+"
 )
 
 
@@ -148,7 +151,7 @@ def repetition_ratio(df: DataFrame, key_col: str,
     shuffle 8-byte keys (hash collisions merging two tokens of one doc
     are harmless at the signal's precision)."""
     toks = (
-        _spread(df)
+        spread_small_scan(df)
         .select(F.col(key_col).alias("doc"),
                 F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     )
@@ -258,12 +261,13 @@ def exact_dedup_groups(df: DataFrame, key_col: str, text_col: str = "text") -> D
 
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def spread_small_scan(df: DataFrame) -> DataFrame:
     """Round-robin repartition IF the input has fewer partitions than the
     cluster has slots — a small/single-split scan would otherwise run the
     whole tokenize/hash pipeline on one core. Gated on the actual
     partition count so a production scan with plenty of splits never
-    pays a payload shuffle before a narrow map."""
+    pays a payload shuffle before a narrow map. THE single home of this
+    policy — driver queries import it rather than re-deriving it."""
     spread = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < spread:
         return df.repartition(spread)
@@ -285,7 +289,7 @@ def _shingle_posting(df: DataFrame, key_col: str, text_col: str,
         )
     )
     return (
-        _spread(df.where(F.size(toks) >= n))
+        spread_small_scan(df.where(F.size(toks) >= n))
         .select(F.col(key_col).alias("doc"), F.explode(grams).alias("gram"))
     )
 
@@ -498,7 +502,7 @@ def simhash64(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
             out[i] = np.int64(v.astype(np.int64))
         return pd.Series(out)
 
-    return _spread(df).withColumn("simhash", sim(F.col(text_col)))
+    return spread_small_scan(df).withColumn("simhash", sim(F.col(text_col)))
 
 
 def simhash_neardup_pairs(
@@ -525,7 +529,11 @@ def simhash_neardup_pairs(
     residual-filter work):
 
     - ``min_tokens``: docs with fewer whitespace tokens are excluded
-      up front — a near-empty doc's simhash carries no signal.
+      up front — a near-empty doc's simhash carries no signal. NOTE
+      this is a deliberate recall trade: identical single-token docs
+      are no longer reported here (they are exact duplicates — run
+      ``exact_dedup_groups`` first, which catches them at any length);
+      pass ``min_tokens=0`` to restore the old contract.
     - ``max_bucket``: any (band_no, band_val) bucket with more members
       is dropped before the self-join (the ``max_df`` stop-shingle
       pattern). A 100 TB corpus with 1% byte-identical boilerplate

@@ -192,6 +192,10 @@ def ivf_index(
 
     Returns (centroids, df + ``list_id``)."""
     cents = _seed_centroids(df, nlist, id_col, vec_col)
+    if cents.size and cents.shape[1] != dim:
+        raise ValueError(
+            f"dim={dim} does not match the table's vector width "
+            f"{cents.shape[1]}")
     for _ in range(iters):
         assigned = df.withColumn("list_id", _assign_udf(cents)(F.col(vec_col)))
         rows = (

@@ -277,6 +277,8 @@ def crop_box(grid: TurnGrid, box: Box) -> tuple[str, int, int]:
         seg = grid.cp[off + a : off + b].copy()
         seg[grid.mk[off + a : off + b]] = 32
         parts.append(seg.tobytes().decode("utf-32-le"))
-    span_start = grid.line_offsets[y0] + min(box.left, len(grid.lines[y0]))
-    span_end = grid.line_offsets[y1] + min(right + 1, len(grid.lines[y1]))
+    # span arithmetic has exactly ONE home: the property suite asserts
+    # box_span == crop_box offsets, and sharing the code makes that
+    # true by construction
+    span_start, span_end = box_span(grid, box)
     return "\n".join(parts), span_start, span_end
