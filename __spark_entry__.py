@@ -250,6 +250,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fingerprint", "n_dups", "keeper"
         )
 
+    def q_url_domain_counts_documents(spark, sf):
+        # the corpus carries no URLs — plant a deterministic set
+        # (mirrored verbatim in the oracle SQL)
+        from sparkocr.analysis import url_domain_counts
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        planted = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("see https://site"),
+                         (F.col("doc_id") % 5).cast("string"),
+                         F.lit(".example.com/page?x=1 "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        return url_domain_counts(planted)
+
+    def q_strip_boilerplate_documents(spark, sf):
+        # plant a repeated banner line on every third doc; the op must
+        # strip exactly that line corpus-wide and keep everything else
+        from sparkocr.analysis import strip_boilerplate_lines
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        planted = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("COOKIE BANNER PLEASE ACCEPT TERMS\n"),
+                         F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        return strip_boilerplate_lines(planted, "doc_id").select(
+            "doc", "clean_text", "n_lines_kept")
+
     def q_length_percentiles_documents(spark, sf):
         from sparkocr.analysis import length_percentiles
 
@@ -637,6 +671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "url_domain_counts_documents": q_url_domain_counts_documents,
+        "strip_boilerplate_documents": q_strip_boilerplate_documents,
         "length_percentiles_documents": q_length_percentiles_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "hash_split_documents": q_hash_split_documents,
@@ -885,6 +921,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.2
+        """,
+        "url_domain_counts_documents": """
+            WITH corpus AS (
+              SELECT CASE WHEN doc_id % 7 = 0
+                          THEN 'see https://site' || CAST(doc_id % 5 AS VARCHAR)
+                               || '.example.com/page?x=1 ' || text
+                          ELSE text END AS text
+              FROM documents
+            ), urls AS (
+              SELECT unnest(regexp_extract_all(text,
+                       'https?://[A-Za-z0-9.-]+(/[^ \t\n]*)?', 0)) AS url
+              FROM corpus
+            )
+            SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+                   count(*) AS n_urls
+            FROM urls GROUP BY domain
+        """,
+        "strip_boilerplate_documents": """
+            WITH corpus AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'COOKIE BANNER PLEASE ACCEPT TERMS' || chr(10) || text
+                          ELSE text END AS text
+              FROM documents
+            ), lines AS (
+              SELECT doc_id AS doc,
+                     generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+                     unnest(string_split(text, chr(10))) AS line
+              FROM corpus
+            ), hot AS (
+              SELECT line FROM lines WHERE length(line) >= 8
+              GROUP BY line HAVING count(DISTINCT doc) >= 10
+            ), kept AS (
+              SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)
+            )
+            SELECT doc, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                   count(*) AS n_lines_kept
+            FROM kept GROUP BY doc
         """,
         "length_percentiles_documents": """
             SELECT source, count(*) AS n,

@@ -187,6 +187,79 @@ def contamination_counts(df: DataFrame, probes: list[str],
     )
 
 
+_URL_RE = r"https?://[A-Za-z0-9.-]+(/[^ \t\n]*)?"
+_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain URL frequency across the corpus — the standard
+    web-corpus provenance report (and the input to domain-level
+    filtering/sampling policies). One ``regexp_extract_all`` + explode +
+    count; only matched URLs leave the scan, so shuffle volume tracks
+    URL density, not corpus size. ASCII-only pattern (Java/RE2
+    identical)."""
+    urls = df.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), F.lit(0))
+        ).alias("url")
+    )
+    return (
+        urls.select(F.regexp_extract("url", _DOMAIN_RE, 1).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    min_df: int = 10,
+    min_line_chars: int = 8,
+) -> DataFrame:
+    """Cross-corpus repeated-line removal (the CCNet/RefinedWeb move):
+    a LINE appearing verbatim in ≥ ``min_df`` documents is boilerplate
+    (cookie banners, nav rows, license headers) and is dropped from
+    every document; survivors reassemble in original order.
+
+    Scale shape: explode to (doc, pos, line) → the hot-line list is the
+    small side of an anti-join (same pattern as the ``max_df``
+    stop-shingle guard) → reassembly is one groupBy with an
+    order-pinned ``array_sort``. The line text shuffles once for the
+    count and once for reassembly; at 100 TB replace the line string
+    with xxhash64(line) as the join/count key and keep the string only
+    in the reassembly payload. Lines shorter than ``min_line_chars``
+    are exempt (blank/short lines repeat naturally and are not
+    boilerplate evidence)."""
+    lines = df.select(
+        F.col(key_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.where(F.length("line") >= min_line_chars)
+        .groupBy("line")
+        .agg(F.count_distinct("doc").alias("line_df"))
+        .where(F.col("line_df") >= min_df)
+        .select("line")
+    )
+    # hot only ever contains lines ≥ min_line_chars, so the anti-join
+    # alone implements the exemption
+    kept = lines.join(hot, "line", "left_anti")
+    return (
+        kept.groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_lines_kept"),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text (md5 so the DuckDB oracle can reproduce it bit-for-bit)."""

@@ -388,3 +388,39 @@ def test_module_level_singleton_verbs(spark):
         assert len(eng_mod.detect_text(df).collect()[0]["crops"]) == 1
     finally:
         eng_mod._INSTANCE = old
+
+
+def test_strip_boilerplate_lines(spark):
+    from sparkocr.analysis import strip_boilerplate_lines
+
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    rows = [(i, f"{banner}\nunique content number {i}\nmore text {i}")
+            for i in range(12)] + [(100, "no banner in this document")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in
+           strip_boilerplate_lines(df, "doc_id", min_df=10).collect()}
+    for i in range(12):
+        assert banner not in out[i]["clean_text"]
+        assert f"unique content number {i}" in out[i]["clean_text"]
+        assert out[i]["n_lines_kept"] == 2
+    assert out[100]["clean_text"] == "no banner in this document"
+    # short lines repeat naturally and are exempt from the hot list
+    rows2 = [(i, f"ok\nreal content stays here {i}") for i in range(20)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = {r["doc"]: r["clean_text"]
+            for r in strip_boilerplate_lines(df2, "doc_id",
+                                             min_df=10).collect()}
+    assert all(v.startswith("ok\n") for v in out2.values())
+
+
+def test_url_domain_counts(spark):
+    from sparkocr.analysis import url_domain_counts
+
+    df = spark.createDataFrame(
+        [(1, "see https://a.example.com/x and http://b.org plus text"),
+         (2, "again https://a.example.com/other?q=1 here"),
+         (3, "no links at all")],
+        "doc_id long, text string")
+    got = {r["domain"]: r["n_urls"]
+           for r in url_domain_counts(df).collect()}
+    assert got == {"a.example.com": 2, "b.org": 1}
