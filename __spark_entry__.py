@@ -250,6 +250,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "fingerprint", "n_dups", "keeper"
         )
 
+    def q_neardup_components_documents(spark, sf):
+        # cluster the (oracled) jaccard near-dup pairs into components
+        # and pick keepers — the tail end of the fuzzy-dedup pipeline
+        from sparkocr.analysis import dedup_keepers
+
+        pairs = ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), "doc_id", n=2, threshold=0.2)
+        return dedup_keepers(pairs).select("component", "keeper",
+                                           "n_members")
+
     def q_url_domain_counts_documents(spark, sf):
         # the corpus carries no URLs — plant a deterministic set
         # (mirrored verbatim in the oracle SQL)
@@ -671,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "exact_dedup_documents": q_exact_dedup_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "neardup_components_documents": q_neardup_components_documents,
         "url_domain_counts_documents": q_url_domain_counts_documents,
         "strip_boilerplate_documents": q_strip_boilerplate_documents,
         "length_percentiles_documents": q_length_percentiles_documents,
@@ -921,6 +932,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.2
+        """,
+        "neardup_components_documents": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), grams_all AS (
+              SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS gram
+              FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
+            ), grams AS (
+              SELECT g.doc_id, g.gram FROM grams_all g
+              JOIN (SELECT gram FROM grams_all GROUP BY gram
+                    HAVING count(*) <= 100) keep USING (gram)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT doc_a, doc_b FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.2
+            ), edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ), reach(node, comp) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+            ), comp AS (
+              SELECT node, min(comp) AS component FROM reach GROUP BY node
+            )
+            SELECT component, min(node) AS keeper, count(*) AS n_members
+            FROM comp GROUP BY component
         """,
         "url_domain_counts_documents": """
             WITH corpus AS (

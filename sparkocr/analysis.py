@@ -317,6 +317,81 @@ def hash_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def neardup_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list — the step
+    that turns pairwise LSH/Jaccard hits into dedup GROUPS (keep one doc
+    per component, drop the rest). HashMin label propagation: every node
+    starts labeled with itself; each round, a node adopts the minimum
+    label in its neighborhood; converged when no label changes. Rounds ≈
+    graph diameter (near-dup clusters are shallow); each round is one
+    join + one partial-agg groupBy — the standard DataFrame-native CC at
+    any scale. Labels are materialized per round (localCheckpoint) so
+    the plan does not grow with iterations; convergence is an exact
+    count of changed labels. Returns (node, component) with component =
+    min node id of the cluster."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_keepers(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Per-component keeper selection: the minimum doc id of each
+    near-dup cluster survives, everything else is slated for removal.
+    Returns (component, keeper, n_members)."""
+    comp = neardup_components(pairs, a_col, b_col)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.min("node").alias("keeper"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 

@@ -424,3 +424,21 @@ def test_url_domain_counts(spark):
     got = {r["domain"]: r["n_urls"]
            for r in url_domain_counts(df).collect()}
     assert got == {"a.example.com": 2, "b.org": 1}
+
+
+def test_neardup_components_chain_and_triangle(spark):
+    """Label propagation must find transitive clusters: a 4-node chain
+    (diameter 3) and a separate triangle collapse to two components
+    with min-id keepers."""
+    from sparkocr.analysis import dedup_keepers, neardup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),       # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12)],  # triangle
+        "doc_a long, doc_b long")
+    comp = {r["node"]: r["component"]
+            for r in neardup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    keepers = {r["component"]: (r["keeper"], r["n_members"])
+               for r in dedup_keepers(pairs).collect()}
+    assert keepers == {1: (1, 4), 10: (10, 3)}
