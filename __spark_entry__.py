@@ -787,6 +787,33 @@ def _oracle_fixture_dir() -> str:
     return _ORACLE_FIXTURE_DIR
 
 
+# the tokenize→shingle→cap→sizes→common CTE chain is the SHARED
+# pair-generation contract of jaccard_pairs_documents AND
+# neardup_components_documents — one definition, composed into both SQL
+# strings, so the cap/threshold/tokenization can never silently drift
+# between them
+_JACCARD_CTES = """toks AS (
+              SELECT doc_id,
+                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), grams_all AS (
+              SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS gram
+              FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
+            ), grams AS (
+              -- stop-shingle guard, same max_df=100 cap as the Spark op
+              SELECT g.doc_id, g.gram FROM grams_all g
+              JOIN (SELECT gram FROM grams_all GROUP BY gram
+                    HAVING count(*) <= 100) keep USING (gram)
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     import os
 
@@ -905,27 +932,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups, min(doc_id) AS keeper
             FROM all_docs GROUP BY 1
         """,
-        "jaccard_pairs_documents": """
-            WITH toks AS (
-              SELECT doc_id,
-                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
-                     unnest(string_split(text, ' ')) AS tok
-              FROM documents
-            ), grams_all AS (
-              SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS gram
-              FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
-            ), grams AS (
-              -- stop-shingle guard, same max_df=100 cap as the Spark op
-              SELECT g.doc_id, g.gram FROM grams_all g
-              JOIN (SELECT gram FROM grams_all GROUP BY gram
-                    HAVING count(*) <= 100) keep USING (gram)
-            ), sizes AS (
-              SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
-            ), common AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            )
+        "jaccard_pairs_documents": f"""
+            WITH {_JACCARD_CTES}
             SELECT doc_a, doc_b, n_common,
                    round(n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common), 4) AS jaccard
             FROM common
@@ -933,26 +941,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.2
         """,
-        "neardup_components_documents": """
-            WITH RECURSIVE toks AS (
-              SELECT doc_id,
-                     generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
-                     unnest(string_split(text, ' ')) AS tok
-              FROM documents
-            ), grams_all AS (
-              SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS gram
-              FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
-            ), grams AS (
-              SELECT g.doc_id, g.gram FROM grams_all g
-              JOIN (SELECT gram FROM grams_all GROUP BY gram
-                    HAVING count(*) <= 100) keep USING (gram)
-            ), sizes AS (
-              SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
-            ), common AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-              FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            ), pairs AS (
+        "neardup_components_documents": f"""
+            WITH RECURSIVE {_JACCARD_CTES}, pairs AS (
               SELECT doc_a, doc_b FROM common
               JOIN sizes sa ON sa.doc_id = doc_a
               JOIN sizes sb ON sb.doc_id = doc_b
@@ -980,10 +970,12 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), urls AS (
               SELECT unnest(regexp_extract_all(text,
-                       'https?://[A-Za-z0-9.-]+(/[^ \t\n]*)?', 0)) AS url
+                       '(?i)https?://[A-Za-z0-9.-]+(/[^ \t\n]*)?', 0)) AS url
               FROM corpus
             )
-            SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+            SELECT regexp_replace(lower(regexp_extract(url,
+                       '(?i)https?://([A-Za-z0-9.-]+)', 1)),
+                       '[.]+$', '') AS domain,
                    count(*) AS n_urls
             FROM urls GROUP BY domain
         """,
@@ -1004,10 +996,16 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY line HAVING count(DISTINCT doc) >= 10
             ), kept AS (
               SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)
+            ), agg AS (
+              SELECT doc, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*) AS n_lines_kept
+              FROM kept GROUP BY doc
             )
-            SELECT doc, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
-                   count(*) AS n_lines_kept
-            FROM kept GROUP BY doc
+            -- all-boilerplate docs must still appear (empty, 0 lines)
+            SELECT d.doc, coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(a.n_lines_kept, 0) AS n_lines_kept
+            FROM (SELECT DISTINCT doc FROM lines) d
+            LEFT JOIN agg a USING (doc)
         """,
         "length_percentiles_documents": """
             SELECT source, count(*) AS n,

@@ -187,8 +187,8 @@ def contamination_counts(df: DataFrame, probes: list[str],
     )
 
 
-_URL_RE = r"https?://[A-Za-z0-9.-]+(/[^ \t\n]*)?"
-_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+_URL_RE = r"(?i)https?://[A-Za-z0-9.-]+(/[^ \t\n]*)?"
+_DOMAIN_RE = r"(?i)https?://([A-Za-z0-9.-]+)"
 
 
 def url_domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -196,15 +196,18 @@ def url_domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     web-corpus provenance report (and the input to domain-level
     filtering/sampling policies). One ``regexp_extract_all`` + explode +
     count; only matched URLs leave the scan, so shuffle volume tracks
-    URL density, not corpus size. ASCII-only pattern (Java/RE2
-    identical)."""
-    urls = df.select(
+    URL density, not corpus size. ASCII-only, case-insensitive pattern
+    (Java/RE2 identical); domains are normalized — lowercased, trailing
+    sentence dots stripped — so one site is one count key."""
+    urls = spread_small_scan(df).select(
         F.explode(
             F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), F.lit(0))
         ).alias("url")
     )
+    domain = F.regexp_replace(
+        F.lower(F.regexp_extract("url", _DOMAIN_RE, 1)), r"\.+$", "")
     return (
-        urls.select(F.regexp_extract("url", _DOMAIN_RE, 1).alias("domain"))
+        urls.select(domain.alias("domain"))
         .groupBy("domain")
         .agg(F.count("*").cast("long").alias("n_urls"))
     )
@@ -231,10 +234,13 @@ def strip_boilerplate_lines(
     in the reassembly payload. Lines shorter than ``min_line_chars``
     are exempt (blank/short lines repeat naturally and are not
     boilerplate evidence)."""
-    lines = df.select(
+    # the line table feeds two consumers (hot count + anti-join left
+    # side); materialize once so the corpus scan + posexplode does not
+    # run twice (same move as the jaccard posting list)
+    lines = spread_small_scan(df).select(
         F.col(key_col).alias("doc"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    )
+    ).localCheckpoint(eager=True)
     hot = (
         lines.where(F.length("line") >= min_line_chars)
         .groupBy("line")
@@ -245,7 +251,7 @@ def strip_boilerplate_lines(
     # hot only ever contains lines ≥ min_line_chars, so the anti-join
     # alone implements the exemption
     kept = lines.join(hot, "line", "left_anti")
-    return (
+    agg = (
         kept.groupBy("doc")
         .agg(
             F.array_join(
@@ -256,6 +262,19 @@ def strip_boilerplate_lines(
                 "\n",
             ).alias("clean_text"),
             F.count("*").cast("long").alias("n_lines_kept"),
+        )
+    )
+    # a doc whose EVERY line is boilerplate must still appear (empty,
+    # zero lines) — "was 100% boilerplate" and "never existed" are
+    # different facts downstream
+    all_docs = lines.select("doc").distinct()
+    return (
+        all_docs.join(agg, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long")
+            .alias("n_lines_kept"),
         )
     )
 
@@ -332,12 +351,21 @@ def neardup_components(
     join + one partial-agg groupBy — the standard DataFrame-native CC at
     any scale. Labels are materialized per round (localCheckpoint) so
     the plan does not grow with iterations; convergence is an exact
-    count of changed labels. Returns (node, component) with component =
-    min node id of the cluster."""
+    count of changed labels — the loop RAISES if the graph has not
+    converged within ``max_iters`` (a silent early exit would return
+    split components; raise ``max_iters`` for pathological chain-shaped
+    clusters whose diameter exceeds it). Returns (node, component) with
+    component = min node id of the cluster."""
+    # both edge directions from ONE pass over the (possibly expensive)
+    # pairs plan — a plain union of two selects would execute it twice
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(F.array(
+                F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+            )).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -371,6 +399,12 @@ def neardup_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — a cluster's diameter "
+            "exceeds max_iters; raise it (rounds are cheap: one join + "
+            "one partial agg each)")
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -381,7 +415,11 @@ def dedup_keepers(
 ) -> DataFrame:
     """Per-component keeper selection: the minimum doc id of each
     near-dup cluster survives, everything else is slated for removal.
-    Returns (component, keeper, n_members)."""
+    Returns (component, keeper, n_members). Under the min-label policy
+    ``keeper`` always equals ``component`` (HashMin converges to the
+    min id) — the column exists as the policy seam: swap the ``min``
+    for e.g. longest-doc or earliest-crawl selection without touching
+    consumers."""
     comp = neardup_components(pairs, a_col, b_col)
     return (
         comp.groupBy("component")

@@ -442,3 +442,49 @@ def test_neardup_components_chain_and_triangle(spark):
     keepers = {r["component"]: (r["keeper"], r["n_members"])
                for r in dedup_keepers(pairs).collect()}
     assert keepers == {1: (1, 4), 10: (10, 3)}
+
+
+def test_url_domain_normalization(spark):
+    """Scheme matches case-insensitively; domains lowercase; trailing
+    sentence dots stripped (review finding: fragmented count keys)."""
+    from sparkocr.analysis import url_domain_counts
+
+    df = spark.createDataFrame(
+        [(1, "Visit HTTPS://A.Example.COM now"),
+         (2, "see https://a.example.com. end of sentence"),
+         (3, "plain https://a.example.com/path too")],
+        "doc_id long, text string")
+    got = {r["domain"]: r["n_urls"]
+           for r in url_domain_counts(df).collect()}
+    assert got == {"a.example.com": 3}
+
+
+def test_strip_boilerplate_keeps_all_boilerplate_docs(spark):
+    """A doc that is 100% boilerplate still appears (empty, 0 lines) —
+    'was all boilerplate' and 'never existed' are different facts
+    (review finding)."""
+    from sparkocr.analysis import strip_boilerplate_lines
+
+    banner = "ACCEPT ALL COOKIES TO CONTINUE"
+    rows = [(i, f"{banner}\ncontent {i} stays") for i in range(11)]
+    rows.append((99, banner))  # banner-only doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r for r in
+           strip_boilerplate_lines(df, "doc_id", min_df=10).collect()}
+    assert out[99]["clean_text"] == "" and out[99]["n_lines_kept"] == 0
+    assert len(out) == 12
+
+
+def test_neardup_components_raises_on_non_convergence(spark):
+    """A chain whose diameter exceeds max_iters must RAISE, not return
+    silently split components (review finding)."""
+    from sparkocr.analysis import neardup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(chain, max_iters=3)
+    # and converges fine when allowed enough rounds
+    comp = {r["node"]: r["component"]
+            for r in neardup_components(chain, max_iters=20).collect()}
+    assert set(comp.values()) == {0}
