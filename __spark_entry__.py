@@ -568,6 +568,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  F.sum("n_tokens").alias("n_tokens"))
         )
 
+    def q_corpus_build_v2(spark, sf):
+        # the FULL training-corpus build, end to end, composing this
+        # round's operators: extract → strip cross-corpus boilerplate
+        # lines → quality gate → near-dup pairs → connected components
+        # → keep one doc per cluster → deterministic train/val/test
+        # split → per-split corpus stats. One driver query exercising
+        # the whole chain; every stage is individually oracled above.
+        from sparkocr.analysis import hash_split, strip_boilerplate_lines
+
+        docs = _t(spark, sf, "documents")
+        eng = SparkOcrEngine(spark)
+        extracted = (
+            eng.extract(_as_transcripts(docs))
+            .where(F.col("n_blocks") > 0)
+            .select(F.col("turn_idx").cast("long").alias("doc_id"),
+                    F.col("full_text").alias("text"))
+        )
+        stripped = strip_boilerplate_lines(extracted, "doc_id") \
+            .select(F.col("doc").alias("doc_id"),
+                    F.col("clean_text").alias("text"))
+        gated = with_quality(stripped).where(F.col("n_tokens") >= 10) \
+            .select("doc_id", "text")
+        pairs = ngram_jaccard_pairs(gated, "doc_id", n=2, threshold=0.2)
+        # every member whose id differs from its component's min id is
+        # a near-duplicate of the keeper and is dropped
+        from sparkocr.analysis import neardup_components
+
+        comp = neardup_components(pairs)
+        losers = comp.where(F.col("node") != F.col("component")) \
+            .select(F.col("node").alias("doc_id"))
+        kept = gated.join(losers, "doc_id", "left_anti")
+        return (
+            hash_split(kept)
+            .groupBy("split")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.length("text")).cast("long").alias("n_chars"))
+        )
+
     # -- extraction pipeline (rows-only: correctness gate = golden tests) ----
 
     def q_extract_documents(spark, sf):
@@ -721,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frames": q_media_video_frames,
         "quality_filter_documents": q_quality_filter_documents,
         "clean_corpus_pipeline": q_clean_corpus_pipeline,
+        "corpus_build_v2": q_corpus_build_v2,
     }.items()}
 
 
@@ -771,6 +810,7 @@ GOLDEN_ORACLE_QUERIES = [
     "media_image_features",
     "media_video_frames",
     "clean_corpus_pipeline",
+    "corpus_build_v2",
 ]
 
 _ORACLE_FIXTURE_DIR = None

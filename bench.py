@@ -135,7 +135,7 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _wait_for_quiet(max_wait_s: int = 180, threshold: float = 2.0) -> None:
+def _wait_for_quiet(max_wait_s: int = 120, threshold: float = 2.0) -> None:
     """This shared box carries bursty external load (observed 1-min
     load-avg spikes to 8+ for minutes at a time, inflating the
     contention-sensitive dedup queries 2-5×). Measurement hygiene: wait
