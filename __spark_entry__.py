@@ -3,14 +3,17 @@
 ``entry(spark)``      — flagship extraction over sf0.001 documents.
 ``queries()``         — one DataFrame callable per implemented operator
                         (SURVEY.md §2 + training-data ops).
-``oracle_sql()``      — DuckDB-equivalent ANSI SQL per SQL-expressible
-                        query (same column names/aliases both sides;
-                        float aggregates rounded identically).
-
-Extraction-pipeline queries have no SQL equivalent (the detect→recognize
-cascade is not SQL-expressible) — their correctness gate is the golden
-fixture suite in tests/ (byte equality vs the committed oracle output);
-here the driver records the weaker rows-only check.
+``oracle_sql()``      — a DuckDB oracle for EVERY query: real ANSI SQL
+                        where SQL can express the op (same column
+                        names/aliases both sides; float aggregates
+                        rounded identically), committed-golden parquet
+                        pins (``GOLDEN_ORACLE_QUERIES``) where it
+                        can't — so the driver's rows+schema+hash gate
+                        covers all 58 queries. The pins are regression
+                        gates; the behavior behind them is
+                        independently validated in pytest
+                        (hand-authored fixtures, brute-force
+                        cross-checks, unit suites).
 """
 
 from __future__ import annotations
