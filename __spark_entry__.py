@@ -578,7 +578,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # → keep one doc per cluster → deterministic train/val/test
         # split → per-split corpus stats. One driver query exercising
         # the whole chain; every stage is individually oracled above.
-        from sparkocr.analysis import hash_split, strip_boilerplate_lines
+        from sparkocr.analysis import (
+            hash_split,
+            neardup_components,
+            strip_boilerplate_lines,
+        )
 
         docs = _t(spark, sf, "documents")
         eng = SparkOcrEngine(spark)
@@ -591,13 +595,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stripped = strip_boilerplate_lines(extracted, "doc_id") \
             .select(F.col("doc").alias("doc_id"),
                     F.col("clean_text").alias("text"))
+        # gated feeds TWO consumers (the pair build and the final
+        # anti-join/split) — materialize once so the extraction +
+        # boilerplate reassembly does not execute twice
         gated = with_quality(stripped).where(F.col("n_tokens") >= 10) \
-            .select("doc_id", "text")
+            .select("doc_id", "text").localCheckpoint(eager=True)
         pairs = ngram_jaccard_pairs(gated, "doc_id", n=2, threshold=0.2)
         # every member whose id differs from its component's min id is
         # a near-duplicate of the keeper and is dropped
-        from sparkocr.analysis import neardup_components
-
         comp = neardup_components(pairs)
         losers = comp.where(F.col("node") != F.col("component")) \
             .select(F.col("node").alias("doc_id"))
@@ -862,11 +867,21 @@ def oracle_sql() -> dict[str, str]:
 
     stop_list = "'the','and','of','to','a','in','is','it','that','for','on','with','as','at','by','an','be','this','are','or'"
     golden_dir = _oracle_fixture_dir()
-    golden = {
-        name: f"SELECT * FROM read_parquet('{golden_dir}/{name}.parquet')"
-        for name in GOLDEN_ORACLE_QUERIES
-        if os.path.exists(f"{golden_dir}/{name}.parquet")
-    }
+    golden = {}
+    for name in GOLDEN_ORACLE_QUERIES:
+        path = f"{golden_dir}/{name}.parquet"
+        if os.path.exists(path):
+            golden[name] = f"SELECT * FROM read_parquet('{path}')"
+        else:
+            # degrade THAT query to rows-only rather than failing every
+            # query's oracle run, but never silently: the pytest gate
+            # (test_driver_contract.test_every_query_has_an_oracle)
+            # fails the build on a missing listed fixture
+            import sys
+
+            print(f"WARNING: golden oracle fixture missing: {path} — "
+                  f"{name} degrades to rows-only this run; regenerate "
+                  "via scripts/make_oracle_goldens.py", file=sys.stderr)
     return golden | {
         "window_rank_events": """
             SELECT user_id, event_id,
@@ -1013,11 +1028,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), urls AS (
               SELECT unnest(regexp_extract_all(text,
-                       '(?i)https?://[A-Za-z0-9.-]+(/[^ \t\n]*)?', 0)) AS url
+                       '[Hh][Tt][Tt][Pp][Ss]?://[A-Za-z0-9.-]+(/[^ \t\n]*)?', 0)) AS url
               FROM corpus
             )
             SELECT regexp_replace(lower(regexp_extract(url,
-                       '(?i)https?://([A-Za-z0-9.-]+)', 1)),
+                       '[Hh][Tt][Tt][Pp][Ss]?://([A-Za-z0-9.-]+)', 1)),
                        '[.]+$', '') AS domain,
                    count(*) AS n_urls
             FROM urls GROUP BY domain

@@ -187,8 +187,12 @@ def contamination_counts(df: DataFrame, probes: list[str],
     )
 
 
-_URL_RE = r"(?i)https?://[A-Za-z0-9.-]+(/[^ \t\n]*)?"
-_DOMAIN_RE = r"(?i)https?://([A-Za-z0-9.-]+)"
+# case-insensitivity spelled out with explicit classes, NOT (?i): the
+# flag case-folds Unicode under RE2 (U+017F long-s folds to 's') but is
+# ASCII-only under Java — explicit classes are the only form the two
+# engines agree on byte-for-byte (review finding)
+_URL_RE = r"[Hh][Tt][Tt][Pp][Ss]?://[A-Za-z0-9.-]+(/[^ \t\n]*)?"
+_DOMAIN_RE = r"[Hh][Tt][Tt][Pp][Ss]?://([A-Za-z0-9.-]+)"
 
 
 def url_domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -352,10 +356,12 @@ def neardup_components(
     any scale. Labels are materialized per round (localCheckpoint) so
     the plan does not grow with iterations; convergence is an exact
     count of changed labels — the loop RAISES if the graph has not
-    converged within ``max_iters`` (a silent early exit would return
-    split components; raise ``max_iters`` for pathological chain-shaped
-    clusters whose diameter exceeds it). Returns (node, component) with
-    component = min node id of the cluster."""
+    converged (a silent early exit would return split components).
+    Clusters with diameter ≤ ``max_iters`` always converge (the loop
+    runs ``max_iters`` propagation rounds plus the one confirming
+    zero-change round); raise ``max_iters`` for pathological
+    chain-shaped clusters. Returns (node, component) with component =
+    min node id of the cluster."""
     # both edge directions from ONE pass over the (possibly expensive)
     # pairs plan — a plain union of two selects would execute it twice
     edges = (
@@ -374,7 +380,8 @@ def neardup_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    changed = -1  # defined even if max_iters <= 0 (error path below)
+    for _ in range(max_iters + 1):
         neigh_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
