@@ -12,7 +12,11 @@ script only after an intended semantics change, and say so in the
 commit. Independent validation of the pinned behavior lives in pytest
 (hand-authored fixtures, superset/recall cross-checks, unit tests).
 
-Run: python scripts/make_oracle_goldens.py [sf_dir]
+Run: python scripts/make_oracle_goldens.py [sf_dir] [name ...]
+
+With names given, only those pins are regenerated — adding a NEW golden
+query must not silently refresh every existing pin (a refresh would mask
+an accidental semantics drift in an untouched operator).
 """
 
 from __future__ import annotations
@@ -31,13 +35,17 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from sparkocr.session import get_spark
 
+    only = sys.argv[2:]
+    unknown = set(only) - set(entrymod.GOLDEN_ORACLE_QUERIES)
+    if unknown:
+        raise SystemExit(f"not golden-oracle queries: {sorted(unknown)}")
     out_dir = entrymod._oracle_fixture_dir()
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(cores=8, app_name="make-oracle-goldens",
                       shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    for name in entrymod.GOLDEN_ORACLE_QUERIES:
+    for name in (only or entrymod.GOLDEN_ORACLE_QUERIES):
         df = qs[name](spark, sf)
         with tempfile.TemporaryDirectory() as td:
             tmp = os.path.join(td, "out")

@@ -16,11 +16,11 @@ SF = "/root/testdata/sf0.001"
 TABLES = ("part", "lineitem", "events", "documents", "embeddings")
 
 SUBSET = [
-    "window_rank_events",
+    "window_funcs_events",
     "interval_merge_events",
     "posexplode_documents",
-    "quality_documents",
-    "fingerprint_documents",
+    "doc_metrics_documents",
+    "lineitem_agg_stats",
     "ann_cosine_topk",
 ]
 
