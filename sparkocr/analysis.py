@@ -229,32 +229,44 @@ def strip_boilerplate_lines(
     (cookie banners, nav rows, license headers) and is dropped from
     every document; survivors reassemble in original order.
 
-    Scale shape: explode to (doc, pos, line) → the hot-line list is the
-    small side of an anti-join (same pattern as the ``max_df``
-    stop-shingle guard) → reassembly is one groupBy with an
-    order-pinned ``array_sort``. The line text shuffles once for the
-    count and once for reassembly; at 100 TB replace the line string
-    with xxhash64(line) as the join/count key and keep the string only
-    in the reassembly payload. Lines shorter than ``min_line_chars``
-    are exempt (blank/short lines repeat naturally and are not
-    boilerplate evidence)."""
-    # the line table feeds two consumers (hot count + anti-join left
-    # side); materialize once so the corpus scan + posexplode does not
-    # run twice (same move as the jaccard posting list)
+    Scale shape: the hot-line detection runs entirely on
+    ``xxhash64(line)`` — the count shuffles (doc, 8-byte hash) rows and
+    the hot list is a tiny broadcast anti-join probe, so LINE TEXT never
+    shuffles and is never copied into executor storage; the string rides
+    the narrow scan→explode→anti-join path straight into the one
+    unavoidable reassembly shuffle. What IS materialized is only the
+    (doc, hash, len) table (~20 bytes/line), which at 100 TB of text is
+    orders of magnitude smaller than the corpus (the round-2 design
+    checkpointed the full line table — a full-corpus copy). The source
+    is scanned twice (hash pass + reassembly pass); columnar scans are
+    the cheap side of that trade. A 64-bit hash collision could only
+    drop a line that collides with a genuinely hot line (~n·2⁻⁶⁴ —
+    negligible next to the heuristic's own noise; the sf0.01 oracle,
+    which compares against string-keyed SQL, stays bit-exact). Lines
+    shorter than ``min_line_chars`` are exempt (blank/short lines
+    repeat naturally and are not boilerplate evidence)."""
+    line_h = F.xxhash64("line")
     lines = spread_small_scan(df).select(
         F.col(key_col).alias("doc"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hashed = lines.select(
+        "doc", line_h.alias("line_h"), F.length("line").alias("line_len")
     ).localCheckpoint(eager=True)
     hot = (
-        lines.where(F.length("line") >= min_line_chars)
-        .groupBy("line")
+        hashed.where(F.col("line_len") >= min_line_chars)
+        .groupBy("line_h")
         .agg(F.count_distinct("doc").alias("line_df"))
         .where(F.col("line_df") >= min_df)
-        .select("line")
+        .select("line_h")
     )
-    # hot only ever contains lines ≥ min_line_chars, so the anti-join
-    # alone implements the exemption
-    kept = lines.join(hot, "line", "left_anti")
+    # hot only ever contains hashes of lines ≥ min_line_chars, so the
+    # anti-join alone implements the exemption
+    kept = (
+        lines.withColumn("line_h", line_h)
+        .join(hot, "line_h", "left_anti")
+        .drop("line_h")
+    )
     agg = (
         kept.groupBy("doc")
         .agg(
@@ -270,8 +282,9 @@ def strip_boilerplate_lines(
     )
     # a doc whose EVERY line is boilerplate must still appear (empty,
     # zero lines) — "was 100% boilerplate" and "never existed" are
-    # different facts downstream
-    all_docs = lines.select("doc").distinct()
+    # different facts downstream. Derived from the (materialized) hash
+    # table, not a third source scan.
+    all_docs = hashed.select("doc").distinct()
     return (
         all_docs.join(agg, "doc", "left")
         .select(
