@@ -10,6 +10,7 @@ reproducible by the DuckDB oracle)."""
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -23,6 +24,28 @@ def _dot(a, b):
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _sql_double_array(vals) -> str:
+    """SQL text for a literal array<double>. One ``F.expr`` parse replaces
+    len(vals) py4j ``F.lit`` round-trips — the round-3 profile showed the
+    per-element form spending ~1s of DRIVER time building the 8×64
+    hyperplane literals per query. ``repr`` emits the shortest
+    round-trip decimal and Java's ``Double.parseDouble`` returns the
+    identical IEEE-754 double (bit-equality asserted in
+    tests/test_ann.py), so plans, results, and committed pins are
+    unchanged."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def _py_dot(a, b) -> float:
+    """Python mirror of ``_dot`` over two concrete vectors: plain left
+    fold, the exact IEEE operation order of the SQL ``aggregate`` —
+    NOT numpy (pairwise summation would differ in the last ulp)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
 
 
 def _norm(a):
@@ -39,8 +62,12 @@ def with_cosine(df: DataFrame, query_vec: list[float],
                 vec_col: str = "embedding") -> DataFrame:
     """Adds ``cosine`` similarity to a literal query vector (computed in
     double, rounded to 4 — the oracle-stable contract)."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    denom = _norm(F.col(vec_col)) * _norm(q)
+    q = F.expr(_sql_double_array(query_vec))
+    # the query norm is a constant: fold it on the driver with the same
+    # left-fold order as the SQL aggregate (bit-identical) instead of
+    # re-evaluating a 2·dim-op fold per row
+    q_norm = math.sqrt(_py_dot(query_vec, query_vec))
+    denom = _norm(F.col(vec_col)) * F.lit(q_norm)
     # zero/degenerate vectors would yield 0/0 = NaN, and Spark orders NaN
     # ABOVE every real double — a padding row would win every top-k.
     # Null instead: nulls sort last under desc and fail >= thresholds.
@@ -128,12 +155,18 @@ def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 12,
     100 TB this is the partition key for the vector index (bucketed
     write), so a query touches one bucket, not the corpus."""
     planes = _hyperplanes(dim, n_planes)
-    bucket = F.lit(0).cast("long")
+    # ONE F.expr for the whole bucket: the per-plane F.lit/fold loop cost
+    # ~0.7s of driver time per call (n_planes×dim py4j round-trips); the
+    # SQL text parses in one call and produces the identical plan
+    # (aggregate left-fold in double, > 0 sign bit, shiftleft sum)
+    terms = []
     for j in range(n_planes):
-        pj = F.array(*[F.lit(float(x)) for x in planes[j]])
-        bit = (_dot(F.col(vec_col), pj) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, j)
-    return df.withColumn("bucket", bucket)
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {_sql_double_array(planes[j])},"
+            " (x, y) -> cast(x as double) * y), 0.0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"shiftleft(cast(({dot}) > 0.0D as bigint), {j})")
+    return df.withColumn("bucket", F.expr(" + ".join(terms)))
 
 
 def _seed_centroids(df: DataFrame, nlist: int, id_col: str,
