@@ -17,9 +17,12 @@ Public surface map (reference analog in parens):
 - layout parser:      :mod:`sparkocr.layout` (embedded documents)
 - scale machinery:    :mod:`sparkocr.checkpoint` (resume),
   :mod:`sparkocr.streaming`, :mod:`sparkocr.sources`
-- training-data ops:  :mod:`sparkocr.analysis` (dedup family),
-  :mod:`sparkocr.ann` (similarity), :mod:`sparkocr.relational`
-  (as-of / interval joins), :mod:`sparkocr.multimodal`
+- training-data ops:  :mod:`sparkocr.analysis` (dedup family, sequence
+  packing), :mod:`sparkocr.ann` (similarity, semantic cluster dedup),
+  :mod:`sparkocr.relational` (as-of / interval joins),
+  :mod:`sparkocr.multimodal`
+- C-ABI analog:       :mod:`sparkocr.handles` (engine handle registry,
+  capi.rs parity: create/destroy/cleanup + RocrStatus codes)
 """
 
 from .config import DEFAULT_CONFIG, FLAGSHIP_CONFIG, EngineConfig

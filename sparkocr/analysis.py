@@ -340,6 +340,93 @@ def stratified_sample(df: DataFrame, key_col: str = "source",
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    group_col: str = "source",
+    n_shards: int = 1,
+) -> DataFrame:
+    """Greedy next-fit sequence packing: assign documents to fixed-budget
+    training bins (≤ ``max_tokens`` tokens per bin) — the batch-building
+    step of a pretraining pipeline.
+
+    Packing is inherently sequential (the current bin's remaining budget
+    depends on every prior assignment), so it runs as an
+    ``applyInPandas`` scan per (group, shard) in a DETERMINISTIC order
+    (ascending ``id_col``): next-fit — append to the current bin until
+    the next document would overflow, then open a new bin. A document
+    alone larger than ``max_tokens`` gets its own bin flagged
+    ``oversize`` (callers chunk or drop those; silently truncating here
+    would corrupt token accounting).
+
+    Scale/skew: one task per (group, shard). A whale group (one source
+    = half the corpus) is the conv_id-skew problem again, so
+    ``n_shards`` salts the group key with ``pmod(xxhash64(id), n)`` —
+    packing quality is unchanged (bins never cross documents) and each
+    shard packs independently; the cost is at most ``n_shards - 1``
+    extra partially-filled bins per group. Only (id, n_tokens) rows
+    shuffle — never the text.
+
+    Columns: (group, shard, bin, pos, id, n_tokens, oversize). ``bin``
+    is dense per (group, shard); ``pos`` is the document's position
+    inside its bin."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+
+    out_schema = StructType([
+        StructField("group", StringType()),
+        StructField("shard", IntegerType()),
+        StructField("bin", LongType()),
+        StructField("pos", IntegerType()),
+        StructField("id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("oversize", IntegerType()),
+    ])
+
+    def pack(key, pdf):
+        pdf = pdf.sort_values("id", kind="mergesort")
+        toks = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        n = len(toks)
+        bins = np.zeros(n, dtype=np.int64)
+        pos = np.zeros(n, dtype=np.int32)
+        cur_bin, cur_sum, cur_pos = 0, 0, 0
+        for i in range(n):
+            t = int(toks[i])
+            if cur_pos > 0 and cur_sum + t > max_tokens:
+                cur_bin += 1
+                cur_sum, cur_pos = 0, 0
+            bins[i] = cur_bin
+            pos[i] = cur_pos
+            cur_sum += t
+            cur_pos += 1
+            if t > max_tokens:
+                # the oversize doc closed ITS bin: nothing joins it
+                cur_bin += 1
+                cur_sum, cur_pos = 0, 0
+        return pd.DataFrame({
+            "group": np.repeat(key[0], n),
+            "shard": np.repeat(np.int32(key[1]), n),
+            "bin": bins,
+            "pos": pos,
+            "id": pdf["id"].to_numpy(dtype=np.int64),
+            "n_tokens": toks,
+            "oversize": (toks > max_tokens).astype(np.int32),
+        })
+
+    narrow = df.select(
+        F.col(group_col).cast("string").alias("group"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+        .cast("int").alias("shard"),
+        F.col(id_col).cast("long").alias("id"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+    return narrow.groupBy("group", "shard").applyInPandas(pack, out_schema)
+
+
 def hash_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic train/val/test assignment from the first hex char
     of ``md5(id)``: '0'-'b' → train (75%), 'c'-'d' → val (12.5%),

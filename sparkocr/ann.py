@@ -281,6 +281,46 @@ def ivf_topk(
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
+def cluster_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-cluster) near-duplicate pairs — the SemDeDup
+    move (Abbas et al. 2023, arXiv:2303.09540): coarse k-means clusters
+    first, then cosine pruning ONLY within a cluster.
+
+    Reuses the IVF coarse quantizer (deterministic seeds + Lloyd steps,
+    every heavy step a DataFrame agg) as the cluster assignment, then
+    scores pairs through a self-equi-join on ``list_id`` — the candidate
+    count tracks cluster occupancy, never n². Exactly the recall trade
+    SemDeDup documents: a near-dup pair split across two clusters is
+    missed; raise ``nlist`` for tighter clusters (cheaper pairs, more
+    misses) or lower it for the reverse. At 100 TB the assigned table is
+    written bucketed by ``list_id`` so the pair join is a bucket-local
+    sort-merge with no shuffle.
+
+    Columns: (id_a, id_b, list_id, cosine)."""
+    _, assigned = ivf_index(df, dim, nlist, iters, id_col, vec_col)
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("va"), "list_id")
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("vb"), "list_id")
+    pair_denom = _norm(F.col("va")) * _norm(F.col("vb"))
+    cos = F.when(pair_denom > 0, _dot(F.col("va"), F.col("vb")) / pair_denom)
+    return (
+        a.join(b, "list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, 4))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "list_id", "cosine")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -1,0 +1,138 @@
+"""Sequence packing (greedy next-fit bins) and semantic cluster-dedup
+tests: hand goldens, invariants, and brute-force cross-checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkocr.analysis import pack_sequences
+from sparkocr.ann import cluster_neardup_pairs, cosine_neardup_pairs, ivf_index
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long")
+
+
+def test_pack_hand_golden(spark):
+    # one group, budget 10: [4,4] | [9] | [3,7 overflows → 3] | [7] | ...
+    rows = [(i, "a", t) for i, t in
+            enumerate([4, 4, 9, 3, 7, 10, 1, 2, 3, 4])]
+    out = pack_sequences(_df(spark, rows), max_tokens=10).collect()
+    got = {r["id"]: (r["bin"], r["pos"]) for r in out}
+    assert got == {
+        0: (0, 0), 1: (0, 1),          # 4+4=8
+        2: (1, 0),                     # 9
+        3: (2, 0),                     # 3 (+7 would be 10 → fits!)
+        4: (2, 1),                     # 3+7=10 exactly fits
+        5: (3, 0),                     # 10 exactly fills a bin
+        6: (4, 0), 7: (4, 1), 8: (4, 2), 9: (4, 3),  # 1+2+3+4=10
+    }
+    assert all(r["oversize"] == 0 for r in out)
+
+
+def test_pack_oversize_gets_own_bin(spark):
+    rows = [(0, "a", 5), (1, "a", 25), (2, "a", 5), (3, "a", 5)]
+    out = {r["id"]: r for r in
+           pack_sequences(_df(spark, rows), max_tokens=10).collect()}
+    assert out[1]["oversize"] == 1
+    # the oversize doc sits alone in its bin
+    assert [r["id"] for r in out.values()
+            if r["bin"] == out[1]["bin"]] == [1]
+    # and packing continues in a FRESH bin after it
+    assert out[2]["bin"] == out[1]["bin"] + 1 and out[2]["pos"] == 0
+    assert out[3]["bin"] == out[2]["bin"] and out[3]["pos"] == 1
+
+
+def _invariants(rows, max_tokens):
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r["group"], r["shard"], r["bin"]), []).append(r)
+    for members in by_bin.values():
+        members.sort(key=lambda r: r["pos"])
+        # positions are dense from 0
+        assert [m["pos"] for m in members] == list(range(len(members)))
+        # budget respected unless the bin is a single oversize doc
+        total = sum(m["n_tokens"] for m in members)
+        if total > max_tokens:
+            assert len(members) == 1 and members[0]["oversize"] == 1
+    return by_bin
+
+
+def test_pack_invariants_and_determinism(spark):
+    rows = [(i, f"s{i % 3}", (i * 7919) % 40 + 1) for i in range(300)]
+    df = _df(spark, rows)
+    a = pack_sequences(df, max_tokens=64).collect()
+    b = pack_sequences(df.repartition(13), max_tokens=64).collect()
+    # every doc packed exactly once, identical result at any parallelism
+    assert len(a) == 300
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    _invariants(a, 64)
+    # greedy next-fit in ascending-id order, checked per group in python
+    for g in ("s0", "s1", "s2"):
+        got = sorted(((r["id"], r["bin"]) for r in a if r["group"] == g))
+        cur_bin, cur_sum, cur_pos, exp = 0, 0, 0, []
+        for i, t in sorted((i, t) for i, s, t in rows if s == g):
+            if cur_pos > 0 and cur_sum + t > 64:
+                cur_bin, cur_sum, cur_pos = cur_bin + 1, 0, 0
+            exp.append((i, cur_bin))
+            cur_sum += t
+            cur_pos += 1
+        assert got == exp
+
+
+def test_pack_sharding_bounds_waste(spark):
+    rows = [(i, "whale", 10) for i in range(200)]
+    df = _df(spark, rows)
+    one = pack_sequences(df, max_tokens=100, n_shards=1).collect()
+    four = pack_sequences(df, max_tokens=100, n_shards=4).collect()
+    assert len(four) == len(one) == 200
+    _invariants(four, 100)
+    # shards pack independently; total bins grow by at most n_shards-1
+    def nbins(rows):
+        return len({(r["shard"], r["bin"]) for r in rows})
+    assert nbins(one) == 20
+    assert nbins(four) <= 20 + 3
+
+
+def test_pack_rejects_bad_budget(spark):
+    with pytest.raises(ValueError):
+        pack_sequences(_df(spark, [(0, "a", 1)]), max_tokens=0)
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-cluster) near-dup — SemDeDup composition
+
+
+def _vecs(spark):
+    # three well-separated directions + planted near-duplicates
+    base = {0: [1.0, 0.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0, 0.0],
+            2: [0.0, 0.0, 1.0, 1.0]}
+    rows = []
+    for i in range(60):
+        v = list(base[i % 3])
+        v[3] = v[3] + (i // 3) * 0.01  # slight spread, same direction
+        rows.append((i, v))
+    # planted: exact copies of vectors 0/1/2 under new ids
+    for j, src in enumerate([0, 1, 2]):
+        rows.append((100 + j, [float(x) for x in rows[src][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cluster_neardup_equals_within_cluster_exact(spark):
+    df = _vecs(spark)
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in cluster_neardup_pairs(df, dim=4, threshold=0.999,
+                                          nlist=3).collect()}
+    # brute-force exact pairs, then keep only same-cluster ones using
+    # the SAME deterministic assignment
+    _, assigned = ivf_index(df, dim=4, nlist=3)
+    cl = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in cosine_neardup_pairs(df, threshold=0.999).collect()}
+    want = {p: c for p, c in exact.items() if cl[p[0]] == cl[p[1]]}
+    assert got == want
+    # the planted exact copies MUST be found (identical vectors always
+    # share a cluster — assignment is a deterministic function of the
+    # vector)
+    for j, src in enumerate([0, 1, 2]):
+        assert (src, 100 + j) in got and got[(src, 100 + j)] == 1.0
