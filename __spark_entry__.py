@@ -418,7 +418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_embed_neardup_lsh(spark, sf):
         emb = _t(spark, sf, "embeddings")
-        dim = len(emb.select("embedding").head()[0])
+        first = emb.select("embedding").head()
+        if first is None:
+            raise ValueError("embeddings table is empty — cannot infer dim")
+        dim = len(first[0])
         return cosine_neardup_pairs(emb, threshold=0.38, dim=dim, n_planes=6)
 
     # -- relational joins / grouping (SQL-oracle-checked) --------------------

@@ -46,8 +46,11 @@ def test_simhash_banded_join_equals_brute_force(spark, docs):
     n_tok = {r["doc_id"]: len(r["text"].split(" "))
              for r in corpus.collect()}
     ids = np.array([r["doc_id"] for r in sh if n_tok[r["doc_id"]] >= 2])
-    vals = np.array([np.uint64(r["simhash"]) for r in sh
-                     if n_tok[r["doc_id"]] >= 2], dtype=np.uint64)
+    # signed int64 from Spark → reinterpret the bits as uint64 (a direct
+    # np.uint64() of a negative python int is deprecated in numpy)
+    vals = np.array([r["simhash"] for r in sh
+                     if n_tok[r["doc_id"]] >= 2],
+                    dtype=np.int64).view(np.uint64)
     xor = vals[:, None] ^ vals[None, :]
     ham = np.zeros_like(xor, dtype=np.int64)
     for b in range(64):
