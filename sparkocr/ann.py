@@ -111,22 +111,38 @@ def cosine_neardup_pairs(
     bucket id and the candidate count tracks bucket occupancy, not n².
     Pairs whose true cosine ≥ threshold but whose signs differ on some
     hyperplane are missed — the standard LSH recall trade, tunable via
-    ``n_planes``. Columns: (id_a, id_b, cosine)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    ``n_planes``. Columns: (id_a, id_b, cosine).
+
+    The per-vector norm is folded ONCE per side before the join (n
+    folds), not per pair (2n² folds) — same left-fold over the same
+    vector, so the double result is bit-identical to the per-pair form
+    the oracle computes."""
+    sided = df.select(F.col(id_col).alias("__id__"),
+                      F.col(vec_col).alias("__v__"),
+                      _norm(F.col(vec_col)).alias("__nrm__"))
+    a = sided.select(F.col("__id__").alias("id_a"),
+                     F.col("__v__").alias("va"),
+                     F.col("__nrm__").alias("norm_a"))
+    b = sided.select(F.col("__id__").alias("id_b"),
+                     F.col("__v__").alias("vb"),
+                     F.col("__nrm__").alias("norm_b"))
     if n_planes is not None:
         if dim is None:
             raise ValueError("dim is required for LSH-bucketed near-dup")
-        ab = with_lsh_bucket(df, dim, n_planes, vec_col)
-        a = ab.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        ab = with_lsh_bucket(sided, dim, n_planes, "__v__")
+        a = ab.select(F.col("__id__").alias("id_a"),
+                      F.col("__v__").alias("va"),
+                      F.col("__nrm__").alias("norm_a"),
                       F.col("bucket").alias("bucket_a"))
-        b = ab.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        b = ab.select(F.col("__id__").alias("id_b"),
+                      F.col("__v__").alias("vb"),
+                      F.col("__nrm__").alias("norm_b"),
                       F.col("bucket").alias("bucket_b"))
         pairs = a.join(b, (F.col("bucket_a") == F.col("bucket_b"))
                        & (F.col("id_a") < F.col("id_b")))
     else:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    pair_denom = _norm(F.col("va")) * _norm(F.col("vb"))
+    pair_denom = F.col("norm_a") * F.col("norm_b")
     cos = F.when(pair_denom > 0, _dot(F.col("va"), F.col("vb")) / pair_denom)
     return (
         pairs.withColumn("cosine", F.round(cos, 4))
@@ -306,11 +322,14 @@ def cluster_neardup_pairs(
 
     Columns: (id_a, id_b, list_id, cosine)."""
     _, assigned = ivf_index(df, dim, nlist, iters, id_col, vec_col)
-    a = assigned.select(F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("va"), "list_id")
-    b = assigned.select(F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("vb"), "list_id")
-    pair_denom = _norm(F.col("va")) * _norm(F.col("vb"))
+    normed = assigned.withColumn("__nrm__", _norm(F.col(vec_col)))
+    a = normed.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("va"),
+                      F.col("__nrm__").alias("norm_a"), "list_id")
+    b = normed.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("vb"),
+                      F.col("__nrm__").alias("norm_b"), "list_id")
+    pair_denom = F.col("norm_a") * F.col("norm_b")
     cos = F.when(pair_denom > 0, _dot(F.col("va"), F.col("vb")) / pair_denom)
     return (
         a.join(b, "list_id")
