@@ -94,6 +94,66 @@ def test_pack_sharding_bounds_waste(spark):
     assert nbins(four) <= 20 + 3
 
 
+def test_pack_matches_duckdb_recursive_cte_oracle(spark):
+    """Independent oracle: the same next-fit recursion expressed as a
+    DuckDB recursive CTE (state = post-placement (bin, sum, pos) carried
+    row-to-row in ascending-id order per group). Non-circular — no
+    sparkocr code on the oracle side — and covers the oversize-closes-
+    its-bin transition, which the CTE must replicate exactly."""
+    import duckdb
+
+    B = 64
+    # deterministic mix incl. oversize docs (97 > B) and exact fits
+    rows = [(i, f"s{i % 3}",
+             97 if i % 37 == 0 else (i * 7919) % 40 + 1)
+            for i in range(300)] + [(1000, "s0", B), (1001, "s0", B)]
+    got = sorted(
+        (r["group"], r["id"], r["bin"], r["pos"], r["n_tokens"],
+         r["oversize"])
+        for r in pack_sequences(_df(spark, rows), max_tokens=B).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, grp VARCHAR, n_tokens BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)",
+                    [(i, g, t) for i, g, t in rows])
+    new_bin = f"(r.st_pos > 0 AND r.st_sum + s.n_tokens > {B})"
+    place_bin = (f"CASE WHEN {new_bin} THEN r.st_bin + 1 "
+                 "ELSE r.st_bin END")
+    oracle = con.execute(f"""
+        WITH RECURSIVE s AS (
+          SELECT grp, id, n_tokens,
+                 row_number() OVER (PARTITION BY grp ORDER BY id) AS rn
+          FROM t
+        ), r AS (
+          SELECT grp, id, n_tokens, rn, 0::BIGINT AS bin, 0 AS pos,
+                 CASE WHEN n_tokens > {B} THEN 1 ELSE 0 END::BIGINT
+                     AS st_bin,
+                 CASE WHEN n_tokens > {B} THEN 0 ELSE n_tokens END::BIGINT
+                     AS st_sum,
+                 CASE WHEN n_tokens > {B} THEN 0 ELSE 1 END AS st_pos
+          FROM s WHERE rn = 1
+          UNION ALL
+          SELECT s.grp, s.id, s.n_tokens, s.rn,
+                 {place_bin} AS bin,
+                 CASE WHEN {new_bin} THEN 0 ELSE r.st_pos END AS pos,
+                 CASE WHEN s.n_tokens > {B} THEN ({place_bin}) + 1
+                      ELSE ({place_bin}) END AS st_bin,
+                 CASE WHEN s.n_tokens > {B} THEN 0
+                      WHEN {new_bin} THEN s.n_tokens
+                      ELSE r.st_sum + s.n_tokens END AS st_sum,
+                 CASE WHEN s.n_tokens > {B} THEN 0
+                      WHEN {new_bin} THEN 1
+                      ELSE r.st_pos + 1 END AS st_pos
+          FROM r JOIN s ON s.grp = r.grp AND s.rn = r.rn + 1
+        )
+        SELECT grp, id, bin, pos, n_tokens,
+               CASE WHEN n_tokens > {B} THEN 1 ELSE 0 END AS oversize
+        FROM r
+    """).fetchall()
+    assert got == sorted(oracle)
+
+
 def test_pack_rejects_bad_budget(spark):
     with pytest.raises(ValueError):
         pack_sequences(_df(spark, [(0, "a", 1)]), max_tokens=0)
