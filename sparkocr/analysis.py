@@ -296,6 +296,87 @@ def strip_boilerplate_lines(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_para_chars: int = 8,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup, first occurrence wins
+    (the Lee et al. 2021 "Deduplicating Training Data" move at paragraph
+    granularity): a paragraph repeated verbatim anywhere in the corpus
+    survives only at its first occurrence under the global
+    (``key_col``, position) order; every later copy is dropped and the
+    survivors reassemble in original order.
+
+    Differs from :func:`strip_boilerplate_lines` in BOTH unit and
+    policy: paragraphs (not lines), and every duplicate group loses its
+    copies regardless of document frequency (no ``min_df`` floor) — but
+    the first occurrence is always kept, so unique content is never
+    touched.
+
+    Scale shape: the duplicate decision runs entirely on
+    ``(doc, pos, xxhash64(para))`` rows (~24 bytes/paragraph) — one
+    groupBy on the 8-byte hash picks the ``min(struct(doc, pos))``
+    keeper, and only the LOSER keys (one row per dropped copy, a small
+    fraction of the corpus) flow into the anti-join that filters the
+    text-carrying side; paragraph text itself never shuffles except in
+    the one unavoidable per-doc reassembly agg. Paragraphs shorter than
+    ``min_para_chars`` are exempt (blank separators and one-word
+    paragraphs repeat naturally; deduping them would silently reflow
+    unrelated documents). A 64-bit hash collision can only drop a
+    paragraph whose hash collides with an earlier one (~n·2⁻⁶⁴ —
+    negligible, and the pytest oracle compares against string-keyed SQL
+    so the tested scales are bit-exact)."""
+    para_h = F.xxhash64("para")
+    paras = spread_small_scan(df).select(
+        F.col(key_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    hashed = paras.select(
+        "doc", "pos", para_h.alias("para_h"),
+        F.length("para").alias("para_len"),
+    ).localCheckpoint(eager=True)
+    eligible = hashed.where(F.col("para_len") >= min_para_chars)
+    first = (
+        eligible.groupBy("para_h")
+        .agg(F.min(F.struct("doc", "pos")).alias("first"))
+    )
+    losers = (
+        eligible.join(first, "para_h")
+        .where((F.col("doc") != F.col("first.doc"))
+               | (F.col("pos") != F.col("first.pos")))
+        .select("doc", "pos")
+    )
+    kept = paras.join(losers, ["doc", "pos"], "left_anti")
+    agg = (
+        kept.groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda x: x["para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_paras_kept"),
+        )
+    )
+    # a doc whose every paragraph was a later copy must still appear
+    # (empty, zero kept) — same contract as strip_boilerplate_lines
+    all_docs = hashed.select("doc").distinct()
+    return (
+        all_docs.join(agg, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_paras_kept", F.lit(0)).cast("long")
+            .alias("n_paras_kept"),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text (md5 so the DuckDB oracle can reproduce it bit-for-bit)."""
@@ -425,6 +506,129 @@ def pack_sequences(
         F.col(token_col).cast("long").alias("n_tokens"),
     )
     return narrow.groupBy("group", "shard").applyInPandas(pack, out_schema)
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Token-budget corpus mixing: draw a deterministic sample from each
+    source sized to its mixture weight — the "data mixture" step of a
+    pretraining pipeline (e.g. 60% web / 30% code / 10% books by token
+    count). Source ``s`` gets a target of
+    ``round(weights[s]/Σweights × total_tokens)`` tokens; its documents
+    are taken in ``(md5(id), id)`` order (a seedless deterministic
+    shuffle, same device as :func:`stratified_sample`) while the running
+    token total BEFORE each document is under the target — so the target
+    is always reached when the source is large enough, overshooting by
+    less than one document. Sources missing from ``weights`` contribute
+    nothing; a source smaller than its target contributes everything it
+    has (under-delivery is the caller's signal to re-weight, not a
+    silent re-draw).
+
+    Scale shape: the naive form is one cumulative-sum window per source
+    — a whale source would serialize its entire (id, n_tokens) stream
+    through a single task. Instead the order is bucketed by its own
+    prefix (``md5`` prefix → ``n_buckets`` order-contiguous buckets):
+    per-(source, bucket) token sums make a tiny aggregate (sources ×
+    buckets rows) whose cumulative sum locates each source's BOUNDARY
+    bucket; buckets wholly under the target are taken with no window at
+    all, buckets past it are dropped at the join, and only the one
+    boundary bucket per source (~1/n_buckets of the source) pays a
+    windowed cumsum, seeded with the bucket's running offset. Results
+    are bit-identical to the naive spec at any ``n_buckets`` (buckets
+    partition a prefix of the order), which the DuckDB oracle in pytest
+    checks against the naive global-window SQL. Only (source, id,
+    n_tokens) rows ever shuffle — never text."""
+    if total_tokens < 0:
+        raise ValueError("total_tokens must be non-negative")
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative with a positive sum")
+    if not 0 < n_buckets <= 65536:
+        raise ValueError("n_buckets must be in (0, 65536] — buckets are "
+                         "ranges of a 16-bit md5 prefix")
+    wsum = float(sum(weights.values()))
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(s, int(round(w / wsum * total_tokens)))
+         for s, w in sorted(weights.items())],
+        f"{source_col} string, target long",
+    )
+    ord_key = F.md5(F.col(id_col).cast("string"))
+    narrow = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.col(id_col).cast("long").alias("id"),
+            F.col(token_col).cast("long").alias("n_tokens"),
+            ord_key.alias("ord_key"),
+        )
+        # md5-prefix range bucket: lexicographic hex order == numeric
+        # order, so floor(prefix16 · n/65536) is order-CONTIGUOUS
+        # (bucket b's keys all sort before bucket b+1's) and per-bucket
+        # sums compose into the global cumulative sum exactly
+        .withColumn(
+            "bucket",
+            F.floor(
+                F.conv(F.substring("ord_key", 1, 4), 16, 10).cast("long")
+                * n_buckets / F.lit(65536)
+            ).cast("int"),
+        )
+        .join(F.broadcast(targets.withColumnRenamed(source_col, "source")),
+              "source")
+    )
+    # tiny aggregate: (source, bucket) token sums → running offset per
+    # bucket; the window here is over ≤ n_buckets rows per source
+    wb = Window.partitionBy("source").orderBy("bucket")
+    bucket_sums = (
+        narrow.groupBy("source", "bucket", "target")
+        .agg(F.sum("n_tokens").alias("b_tokens"))
+        .withColumn(
+            "b_before",
+            F.coalesce(
+                F.sum("b_tokens").over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "b_state",
+            F.when(F.col("b_before") + F.col("b_tokens") <= F.col("target"),
+                   F.lit("all"))
+            .when(F.col("b_before") >= F.col("target"), F.lit("none"))
+            .otherwise(F.lit("boundary")),
+        )
+        .select("source", "bucket", "b_before", "b_state")
+    )
+    staged = narrow.join(F.broadcast(bucket_sums), ["source", "bucket"])
+    whole = staged.where(F.col("b_state") == "all")
+    # only the boundary bucket pays a row-level window, offset by the
+    # buckets before it
+    wrow = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("ord_key", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    edge = (
+        staged.where(F.col("b_state") == "boundary")
+        .withColumn(
+            "cum_before",
+            F.col("b_before") + F.coalesce(F.sum("n_tokens").over(wrow),
+                                           F.lit(0)),
+        )
+        .where(F.col("cum_before") < F.col("target"))
+        .drop("cum_before")
+    )
+    return (
+        whole.unionByName(edge)
+        .select("source", F.col("id").alias(id_col), "n_tokens")
+    )
 
 
 def hash_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
