@@ -377,6 +377,206 @@ def dedup_paragraphs(
     )
 
 
+def _window_hashes(df: DataFrame, key_col: str, text_col: str,
+                   length: int) -> DataFrame:
+    """(doc, wpos, whash) for EVERY length-``length`` token window at
+    stride 1 — the positional sibling of :func:`_shingle_posting`
+    (which distinct-s and drops positions). Documents shorter than
+    ``length`` tokens have no windows. The concat-then-xxhash64 per
+    window is O(n·L) characters per doc; a Karp-Rabin rolling hash
+    would make it O(n) but needs a per-row scan loop — at the default
+    L this constant factor is cheaper than leaving codegen."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        spread_small_scan(df.where(F.size(toks) >= length))
+        .select(
+            F.col(key_col).alias("doc"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - length),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(toks, i + 1, length))),
+                )
+            ).alias("wpos", "whash"),
+        )
+    )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    min_len: int = 50,
+) -> DataFrame:
+    """Exact-substring dedup (the ExactSubstr operator of Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"),
+    re-expressed over token windows: any length-``min_len`` token
+    window whose content appears more than once in the corpus marks a
+    duplicated span, and every occurrence EXCEPT the globally first
+    (minimal ``(doc, wpos)``) is removed. Overlapping flagged windows
+    union into maximal spans before removal, so a long duplicated
+    passage disappears as one piece. Documents shorter than ``min_len``
+    tokens are never touched; documents with no flagged span keep
+    their text byte-identical (they never pay the token explode).
+
+    The paper builds a corpus-wide suffix array; that is a
+    single-machine construction. The Spark-shaped equivalent is the
+    stride-1 window-hash table: it finds exactly the duplicated spans
+    of length ≥ ``min_len`` (a duplicated span of length m ≥ L is
+    covered by its m−L+1 duplicated windows), costs one narrow
+    generate + one 16-byte-row shuffle, and never materializes text
+    off the original rows. Hash collisions (xxhash64) can only
+    over-remove, at ~(corpus windows)²·2⁻⁶⁴ expected false pairs —
+    negligible; the pytest brute-force oracle compares against
+    string-keyed spans so the tested scales are exact.
+
+    Scale shape: the decision table is (doc, wpos, int64) rows — no
+    text shuffles until the per-doc reassembly of only the AFFECTED
+    documents. Span merge is a per-doc window over flagged rows
+    (flagged rows ≪ corpus); removal positions explode only inside
+    merged spans. Returns (doc, clean_text, n_tokens_removed) with
+    every input doc present."""
+    if min_len < 2:
+        raise ValueError("min_len must be ≥ 2 tokens")
+    wins = _window_hashes(df, key_col, text_col, min_len)
+    # duplicated window contents + their single surviving occurrence
+    firsts = (
+        wins.groupBy("whash")
+        .agg(F.count("*").alias("n_occ"),
+             F.min(F.struct("doc", "wpos")).alias("first"))
+        .where(F.col("n_occ") > 1)
+        .select("whash", "first")
+    )
+    flagged = (
+        wins.join(firsts, "whash")
+        .where((F.col("doc") != F.col("first.doc"))
+               | (F.col("wpos") != F.col("first.wpos")))
+        .select("doc", F.col("wpos").alias("start"),
+                (F.col("wpos") + min_len).alias("end"))
+    )
+    # union overlapping/adjacent flagged windows into maximal spans
+    # (gaps-and-islands: a window starting past the running max end of
+    # everything before it opens a new span)
+    w_doc = Window.partitionBy("doc").orderBy("start", "end")
+    spans = (
+        flagged
+        .withColumn(
+            "max_end_before",
+            F.max("end").over(w_doc.rowsBetween(Window.unboundedPreceding,
+                                                -1)),
+        )
+        .withColumn(
+            "new_span",
+            F.when(F.col("start")
+                   > F.coalesce(F.col("max_end_before"), F.lit(-1)),
+                   F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn("span_id", F.sum("new_span").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc", "span_id")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+    )
+    # only affected docs pay the token explode + reassembly
+    removed_pos = spans.select(
+        "doc", F.explode(F.sequence("start", F.col("end") - 1)).alias("tpos")
+    )
+    affected = spans.select("doc").distinct()
+    toks = (
+        df.select(F.col(key_col).alias("doc"),
+                  F.posexplode(F.split(F.col(text_col), " "))
+                  .alias("tpos", "tok"))
+        .join(affected, "doc", "left_semi")
+    )
+    rebuilt = (
+        toks.join(removed_pos, ["doc", "tpos"], "left_anti")
+        .groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("__rebuilt__"),
+        )
+    )
+    n_removed = spans.groupBy("doc").agg(
+        F.sum(F.col("end") - F.col("start")).cast("long")
+        .alias("__n_removed__"))
+    # n_removed holds exactly the affected docs; a fully-removed doc has
+    # no rebuilt row (its groupBy saw zero kept tokens) → coalesce ''
+    affected_out = n_removed.join(rebuilt, "doc", "left").select(
+        "doc",
+        F.coalesce("__rebuilt__", F.lit("")).alias("__clean__"),
+        "__n_removed__",
+    )
+    return (
+        df.select(F.col(key_col).alias("doc"),
+                  F.col(text_col).alias("__orig__"))
+        .join(affected_out, "doc", "left")
+        .select(
+            "doc",
+            # untouched docs (no affected row): byte-identical text
+            F.coalesce("__clean__", "__orig__").alias("clean_text"),
+            F.coalesce("__n_removed__", F.lit(0)).cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    probes: list[str],
+    key_col: str,
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (the GPT-3 appendix-C
+    move, 13-gram default): a document is contaminated if it shares ANY
+    length-``n`` token window with any probe text — the expensive
+    second pass that :func:`contamination_counts`'s substring filter
+    fronts for. Returns one row per contaminated document:
+    (doc, n_hit_windows, n_probes_hit).
+
+    Scale shape: probe windows are tiny (probes × probe length) and
+    hashed JVM-side into a broadcast; the corpus pays one stride-1
+    window-hash generate (int64 rows, text never shuffles) and a
+    broadcast equi-join on the 8-byte hash — one corpus pass for all
+    probes, never a pass per probe. A hash collision can only
+    over-flag (a doc falsely marked contaminated), at ~(corpus
+    windows)·(probe windows)·2⁻⁶⁴ — negligible, and over-flagging is
+    the safe direction for decontamination."""
+    if n < 1:
+        raise ValueError("n must be ≥ 1 token")
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    short = [p for p in probes if len(p.split(" ")) < n]
+    if short:
+        # a probe shorter than n tokens has no n-gram windows and could
+        # never match anything — silent false-clean is the one failure
+        # mode a decontamination pass must not have
+        raise ValueError(
+            f"{len(short)} probe(s) shorter than n={n} tokens (first: "
+            f"{short[0]!r}); lower n or drop/extend those probes")
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probes)], "probe_id int, text string")
+    probe_wins = (
+        _window_hashes(probe_df, "probe_id", "text", n)
+        .select(F.col("doc").alias("probe_id"), "whash")
+        .distinct()
+    )
+    doc_wins = _window_hashes(df, key_col, text_col, n)
+    return (
+        doc_wins.join(F.broadcast(probe_wins), "whash")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_hit_windows"),
+            F.countDistinct("probe_id").cast("long").alias("n_probes_hit"),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text (md5 so the DuckDB oracle can reproduce it bit-for-bit)."""

@@ -1,11 +1,15 @@
-"""Paragraph-level exact dedup (first occurrence wins) and token-budget
-corpus mixing: hand goldens, invariants, and DuckDB oracle cross-checks."""
+"""Corpus-construction operators: paragraph-level exact dedup,
+token-budget corpus mixing, ExactSubstr-style substring dedup, and
+n-gram benchmark decontamination — hand goldens, invariants, and
+independent (DuckDB-SQL / brute-force string-keyed) oracle
+cross-checks."""
 
 import duckdb
 import pytest
 from pyspark.sql import functions as F
 
-from sparkocr.analysis import dedup_paragraphs, mix_corpus
+from sparkocr.analysis import (
+    dedup_paragraphs, dedup_substrings, mix_corpus, ngram_contamination)
 
 SEP = "\n\n"
 
@@ -196,3 +200,169 @@ def test_mix_corpus_rejects_bad_args(spark):
         mix_corpus(df, {"a": 1.0}, 100, n_buckets=0)
     with pytest.raises(ValueError):
         mix_corpus(df, {"a": 1.0}, 100, n_buckets=65537)
+
+
+# ---------------------------------------------------------------------------
+# dedup_substrings (ExactSubstr)
+
+
+def _brute_substr(rows, L):
+    """Independent spec: string-keyed window scan, keep-first, span
+    union, token-position removal. No hashes, no sparkocr code."""
+    first = {}
+    for doc, text in sorted(rows):
+        toks = text.split(" ")
+        for i in range(len(toks) - L + 1):
+            first.setdefault(" ".join(toks[i:i + L]), (doc, i))
+    out = {}
+    for doc, text in rows:
+        toks = text.split(" ")
+        flagged = [
+            (i, i + L) for i in range(len(toks) - L + 1)
+            if first[" ".join(toks[i:i + L])] != (doc, i)
+        ]
+        covered = set()
+        for s, e in flagged:
+            covered.update(range(s, e))
+        if not covered:
+            out[doc] = (text, 0)
+        else:
+            kept = [t for p, t in enumerate(toks) if p not in covered]
+            out[doc] = (" ".join(kept), len(covered))
+    return out
+
+
+def test_substr_dedup_hand_golden(spark):
+    # doc 1 repeats doc 0's 4-token run "w x y z"; the copy (and only
+    # the copy) is cut; doc 2 is untouched byte-identically
+    rows = [
+        (0, "a b w x y z c"),
+        (1, "p q w x y z r s"),
+        (2, "no  duplicates\nhere at all"),  # double space + newline survive
+    ]
+    got = {r["doc"]: (r["clean_text"], r["n_tokens_removed"])
+           for r in dedup_substrings(_docs(spark, rows), "doc_id",
+                                     min_len=4).collect()}
+    assert got == {
+        0: ("a b w x y z c", 0),
+        1: ("p q r s", 4),
+        2: ("no  duplicates\nhere at all", 0),
+    }
+
+
+def test_substr_dedup_overlapping_windows_merge_into_one_span(spark):
+    # a 6-token duplicated passage under L=4 flags 3 overlapping
+    # windows; they must merge into ONE 6-token span, not remove 12
+    rows = [
+        (0, "u1 u2 d1 d2 d3 d4 d5 d6 u3"),
+        (1, "v1 d1 d2 d3 d4 d5 d6 v2 v3"),
+    ]
+    got = {r["doc"]: (r["clean_text"], r["n_tokens_removed"])
+           for r in dedup_substrings(_docs(spark, rows), "doc_id",
+                                     min_len=4).collect()}
+    assert got[0] == ("u1 u2 d1 d2 d3 d4 d5 d6 u3", 0)
+    assert got[1] == ("v1 v2 v3", 6)
+
+
+def test_substr_dedup_within_one_doc_keeps_first(spark):
+    rows = [(7, "r1 r2 r3 r4 mid1 mid2 r1 r2 r3 r4 tail")]
+    got = dedup_substrings(_docs(spark, rows), "doc_id",
+                           min_len=4).collect()[0]
+    assert got["clean_text"] == "r1 r2 r3 r4 mid1 mid2 tail"
+    assert got["n_tokens_removed"] == 4
+
+
+def test_substr_dedup_fully_duplicated_doc_empties(spark):
+    rows = [(0, "c1 c2 c3 c4 c5"), (1, "c1 c2 c3 c4 c5")]
+    got = {r["doc"]: (r["clean_text"], r["n_tokens_removed"])
+           for r in dedup_substrings(_docs(spark, rows), "doc_id",
+                                     min_len=5).collect()}
+    assert got == {0: ("c1 c2 c3 c4 c5", 0), 1: ("", 5)}
+
+
+def test_substr_dedup_short_docs_never_touched(spark):
+    rows = [(0, "same short"), (1, "same short")]
+    got = {r["doc"]: r["clean_text"]
+           for r in dedup_substrings(_docs(spark, rows), "doc_id",
+                                     min_len=3).collect()}
+    assert got == {0: "same short", 1: "same short"}
+
+
+def test_substr_dedup_matches_brute_oracle(spark):
+    # deterministic corpus with shared runs of varying length, repeats
+    # within and across docs, and sub-threshold near-misses
+    vocab = [f"t{i}" for i in range(12)]
+    rows = []
+    for d in range(30):
+        toks = [vocab[(d * 5 + j * 3 + (j * j) % 7) % 12]
+                for j in range(6 + d % 9)]
+        if d % 3 == 0:  # plant a shared 5-run
+            toks[1:1] = ["s1", "s2", "s3", "s4", "s5"]
+        rows.append((d, " ".join(toks)))
+    L = 5
+    want = _brute_substr(rows, L)
+    got = {r["doc"]: (r["clean_text"], r["n_tokens_removed"])
+           for r in dedup_substrings(
+               _docs(spark, rows).repartition(7), "doc_id",
+               min_len=L).collect()}
+    assert got == want
+
+
+def test_substr_dedup_rejects_bad_min_len(spark):
+    with pytest.raises(ValueError):
+        dedup_substrings(_docs(spark, [(0, "a b")]), "doc_id", min_len=1)
+
+
+# ---------------------------------------------------------------------------
+# ngram_contamination
+
+
+def test_ngram_contamination_hand_golden(spark):
+    probes = ["the quick brown fox jumps",
+              "benchmark answer key goes here"]
+    rows = [
+        (0, "prefix the quick brown fox jumps suffix"),     # hits probe 0
+        (1, "totally clean document with original words"),  # clean
+        (2, "the quick brown fox jumps and also "
+            "benchmark answer key goes here twice "
+            "benchmark answer key goes here"),              # both probes
+        (3, "quick brown fox jumps the"),                   # reordered: clean
+    ]
+    got = {r["doc"]: (r["n_hit_windows"], r["n_probes_hit"])
+           for r in ngram_contamination(_docs(spark, rows), probes,
+                                        "doc_id", n=5).collect()}
+    assert got == {0: (1, 1), 2: (3, 2)}
+
+
+def test_ngram_contamination_matches_brute_oracle(spark):
+    probes = ["p0 p1 p2", "q0 q1 q2 q3"]
+    vocab = ["p0", "p1", "p2", "q0", "q1", "q2", "q3", "x", "y", "z"]
+    rows = [(d, " ".join(vocab[(d + j) % 10] for j in range(3 + d % 8)))
+            for d in range(60)]
+    n = 3
+    probe_grams = set()
+    for p in probes:
+        pt = p.split(" ")
+        probe_grams.update(" ".join(pt[i:i + n])
+                           for i in range(len(pt) - n + 1))
+    want = {}
+    for d, text in rows:
+        toks = text.split(" ")
+        hits = [" ".join(toks[i:i + n]) in probe_grams
+                for i in range(len(toks) - n + 1)]
+        if any(hits):
+            want[d] = sum(hits)
+    got = {r["doc"]: r["n_hit_windows"]
+           for r in ngram_contamination(_docs(spark, rows), probes,
+                                        "doc_id", n=n).collect()}
+    assert got == want
+
+
+def test_ngram_contamination_rejects_bad_args(spark):
+    df = _docs(spark, [(0, "a b c")])
+    with pytest.raises(ValueError):
+        ngram_contamination(df, [], "doc_id")
+    with pytest.raises(ValueError):
+        ngram_contamination(df, ["a b"], "doc_id", n=0)
+    with pytest.raises(ValueError, match="shorter than n"):
+        ngram_contamination(df, ["a b c", "a b"], "doc_id", n=3)
