@@ -430,27 +430,29 @@ def dedup_substrings(
     negligible; the pytest brute-force oracle compares against
     string-keyed spans so the tested scales are exact.
 
-    Scale shape: the decision table is (doc, wpos, int64) rows — no
-    text shuffles until the per-doc reassembly of only the AFFECTED
-    documents. Span merge is a per-doc window over flagged rows
-    (flagged rows ≪ corpus); removal positions explode only inside
-    merged spans. Returns (doc, clean_text, n_tokens_removed) with
-    every input doc present."""
+    Scale shape: the decision table is (doc, wpos, int64) rows, the
+    window-hash generate runs ONCE (duplicate detection is a
+    row_number over whash — one shuffle, no self-join, no second pass
+    over the corpus), and document text never shuffles at all: merged
+    spans come back to the text as a per-doc array join and the
+    removal is an index-aware ``filter`` on the original token array
+    on the original row. Flagged rows ≪ corpus pay the span-merge
+    window. A window content duplicated corpus-wide (hot boilerplate)
+    skews its whash partition — run :func:`strip_boilerplate_lines`
+    first; at min_len=50 tokens organic mega-hot windows are rare.
+    Returns (doc, clean_text, n_tokens_removed) with every input doc
+    present."""
     if min_len < 2:
         raise ValueError("min_len must be ≥ 2 tokens")
     wins = _window_hashes(df, key_col, text_col, min_len)
-    # duplicated window contents + their single surviving occurrence
-    firsts = (
-        wins.groupBy("whash")
-        .agg(F.count("*").alias("n_occ"),
-             F.min(F.struct("doc", "wpos")).alias("first"))
-        .where(F.col("n_occ") > 1)
-        .select("whash", "first")
-    )
+    # every occurrence of a duplicated window content except the
+    # globally first: rank within whash — rn > 1 both proves the
+    # duplication and names the survivors, one shuffle, wins consumed
+    # exactly once
+    w_hash = Window.partitionBy("whash").orderBy("doc", "wpos")
     flagged = (
-        wins.join(firsts, "whash")
-        .where((F.col("doc") != F.col("first.doc"))
-               | (F.col("wpos") != F.col("first.wpos")))
+        wins.withColumn("rn", F.row_number().over(w_hash))
+        .where(F.col("rn") > 1)
         .select("doc", F.col("wpos").alias("start"),
                 (F.col("wpos") + min_len).alias("end"))
     )
@@ -476,48 +478,31 @@ def dedup_substrings(
         .groupBy("doc", "span_id")
         .agg(F.min("start").alias("start"), F.max("end").alias("end"))
     )
-    # only affected docs pay the token explode + reassembly
-    removed_pos = spans.select(
-        "doc", F.explode(F.sequence("start", F.col("end") - 1)).alias("tpos")
-    )
-    affected = spans.select("doc").distinct()
-    toks = (
-        df.select(F.col(key_col).alias("doc"),
-                  F.posexplode(F.split(F.col(text_col), " "))
-                  .alias("tpos", "tok"))
-        .join(affected, "doc", "left_semi")
-    )
-    rebuilt = (
-        toks.join(removed_pos, ["doc", "tpos"], "left_anti")
-        .groupBy("doc")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
-                    lambda x: x["tok"],
-                ),
-                " ",
-            ).alias("__rebuilt__"),
-        )
-    )
-    n_removed = spans.groupBy("doc").agg(
+    # merged spans fold to ONE small row per affected doc; the removal
+    # then happens on the text's original row via an index-aware array
+    # filter — document text is never exploded and never grouped back
+    spans_per_doc = spans.groupBy("doc").agg(
+        F.collect_list(F.struct("start", "end")).alias("__spans__"),
         F.sum(F.col("end") - F.col("start")).cast("long")
-        .alias("__n_removed__"))
-    # n_removed holds exactly the affected docs; a fully-removed doc has
-    # no rebuilt row (its groupBy saw zero kept tokens) → coalesce ''
-    affected_out = n_removed.join(rebuilt, "doc", "left").select(
-        "doc",
-        F.coalesce("__rebuilt__", F.lit("")).alias("__clean__"),
-        "__n_removed__",
+        .alias("__n_removed__"),
+    )
+    toks = F.split(F.col("__orig__"), " ")
+    kept = F.filter(
+        toks,
+        lambda tok, i: ~F.exists(
+            F.col("__spans__"),
+            lambda s: (i >= s["start"]) & (i < s["end"]),
+        ),
     )
     return (
         df.select(F.col(key_col).alias("doc"),
                   F.col(text_col).alias("__orig__"))
-        .join(affected_out, "doc", "left")
+        .join(spans_per_doc, "doc", "left")
         .select(
             "doc",
-            # untouched docs (no affected row): byte-identical text
-            F.coalesce("__clean__", "__orig__").alias("clean_text"),
+            # untouched docs (no spans row): byte-identical text
+            F.when(F.col("__spans__").isNull(), F.col("__orig__"))
+            .otherwise(F.array_join(kept, " ")).alias("clean_text"),
             F.coalesce("__n_removed__", F.lit(0)).cast("long")
             .alias("n_tokens_removed"),
         )
