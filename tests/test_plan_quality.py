@@ -150,3 +150,47 @@ def test_repetition_ratio_map_side_combine(spark, sf):
     plan = _plan(repetition_ratio(docs, "doc_id"))
     assert "partial_count" in plan
     assert plan.index("partial_count") > plan.index("Exchange")
+
+
+def test_substr_dedup_plan_shape(spark, sf):
+    """ExactSubstr dedup: no cartesian/nested-loop path, no Python UDF,
+    and the whash rank is ONE window (the single-pass duplicate
+    detection), with document text absent from every Exchange."""
+    from sparkocr.analysis import dedup_substrings
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = _plan(dedup_substrings(docs, "doc_id", min_len=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # text flows only from scan to the final per-row array filter — it
+    # must never be a shuffle output (window rows are (doc,wpos,whash))
+    for frag in plan.split("Exchange")[1:]:
+        first_line = frag.split("\n", 1)[0]
+        assert "text" not in first_line, f"text in shuffle: {first_line}"
+
+
+def test_ngram_contamination_broadcasts_probes(spark, sf):
+    from sparkocr.analysis import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = _plan(ngram_contamination(
+        docs, ["alpha beta gamma delta epsilon zeta"], "doc_id", n=3))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_paragraph_dedup_and_mix_corpus_no_python_path(spark, sf):
+    from sparkocr.analysis import dedup_paragraphs, mix_corpus
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    p1 = _plan(dedup_paragraphs(docs, "doc_id"))
+    toks = docs.select("doc_id", "source",
+                       F.size(F.split("text", " ")).alias("n_tokens"))
+    p2 = _plan(mix_corpus(toks, {"web": 1.0, "books": 1.0}, 10_000))
+    for p in (p1, p2):
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # mix_corpus: the target table rides a broadcast, never a shuffle
+    assert "BroadcastHashJoin" in p2
