@@ -1,0 +1,145 @@
+"""End-to-end training-corpus construction: the composed pipeline a
+pretraining data team actually runs, wiring this package's individually
+oracled operators in the published order (RefinedWeb/Dolma shape):
+
+    boilerplate strip → exact-substring dedup → paragraph dedup →
+    quality gate → whole-document exact dedup → benchmark
+    decontamination → mixture sampling → sequence packing
+
+Every stage is an operator with its own oracle-gated tests; this module
+owns only the composition, the stage-boundary materialization policy,
+and the bookkeeping columns. See ``corpus_build_v2`` in
+``__spark_entry__.py`` for the driver-gated fuzzy-dedup (Jaccard +
+connected components) sibling of this pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkocr.analysis import (
+    dedup_paragraphs,
+    dedup_substrings,
+    exact_dedup_groups,
+    mix_corpus,
+    ngram_contamination,
+    pack_sequences,
+    strip_boilerplate_lines,
+    with_quality,
+)
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    *,
+    decontamination_probes: list[str] | tuple[str, ...] = (),
+    mixture_weights: dict[str, float] | None = None,
+    total_tokens: int | None = None,
+    seq_len: int = 2048,
+    min_quality_tokens: int = 10,
+    stop_ratio_band: tuple[float, float] = (0.05, 0.6),
+    boiler_min_df: int = 10,
+    substr_min_len: int = 50,
+    ngram_n: int = 13,
+    pack_shards: int = 1,
+) -> dict[str, DataFrame]:
+    """Run the full corpus build over ``docs`` (columns ``doc_id``,
+    ``source``, ``text``) and return the named stage outputs:
+
+    - ``documents``: the surviving cleaned documents
+      (doc_id, source, text, n_tokens) — after boilerplate stripping,
+      substring/paragraph/whole-doc dedup, the quality gate,
+      decontamination, and (when ``mixture_weights`` is given) the
+      token-budget mixture draw
+    - ``packed``: fixed-budget training bins over ``documents``
+      (group, shard, bin, pos, id, n_tokens, oversize)
+    - ``stats``: per-source (n_docs, n_tokens) of ``documents``
+
+    Materialization policy: text-rewriting stages that consume their
+    input more than once internally (substring dedup reads the corpus
+    for the window table and again for the rewrite; paragraph dedup
+    likewise) read from an eagerly localCheckpoint'ed boundary so the
+    upstream rewrite never executes twice. On a real cluster swap
+    ``localCheckpoint`` for a checkpoint dir / intermediate table —
+    the composition is unchanged.
+
+    Everything downstream of ``documents`` moves only
+    (id, source, n_tokens) rows; document text never shuffles in the
+    mixture draw or the packer."""
+    if mixture_weights is not None and total_tokens is None:
+        raise ValueError("total_tokens is required with mixture_weights")
+    missing = {"doc_id", "source", "text"} - set(docs.columns)
+    if missing:
+        raise ValueError(f"docs is missing columns: {sorted(missing)}")
+
+    sources = docs.select("doc_id", "source")
+
+    # 1. cross-corpus boilerplate lines (hot-line anti-join)
+    stripped = (
+        strip_boilerplate_lines(docs, "doc_id", min_df=boiler_min_df)
+        .select(F.col("doc").alias("doc_id"),
+                F.col("clean_text").alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    # 2. duplicated-passage removal (ExactSubstr; reads its input twice)
+    passages = (
+        dedup_substrings(stripped, "doc_id", min_len=substr_min_len)
+        .select(F.col("doc").alias("doc_id"),
+                F.col("clean_text").alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    # 3. paragraph-level first-occurrence dedup (reads its input twice)
+    paras = (
+        dedup_paragraphs(passages, "doc_id")
+        .select(F.col("doc").alias("doc_id"),
+                F.col("clean_text").alias("text"))
+    )
+
+    # 4. quality gate
+    lo, hi = stop_ratio_band
+    gated = (
+        with_quality(paras.join(sources, "doc_id"))
+        .where((F.col("stop_ratio") >= lo) & (F.col("stop_ratio") <= hi)
+               & (F.col("n_tokens") >= min_quality_tokens))
+        .select("doc_id", "source", "text",
+                F.col("n_tokens").cast("long").alias("n_tokens"))
+        # fans out below: keeper join, contamination scan, final output
+        .localCheckpoint(eager=True)
+    )
+
+    # 5. whole-document exact dedup (md5 digest shuffle, keeper wins)
+    keepers = exact_dedup_groups(gated, "doc_id").select(
+        F.col("keeper").alias("doc_id"))
+    kept = gated.join(keepers, "doc_id", "left_semi")
+
+    # 6. benchmark decontamination (drop any doc sharing an n-gram
+    # with a probe; over-flagging is the safe direction)
+    if decontamination_probes:
+        contaminated = ngram_contamination(
+            kept, list(decontamination_probes), "doc_id", n=ngram_n
+        ).select("doc")
+        kept = kept.join(contaminated.withColumnRenamed("doc", "doc_id"),
+                         "doc_id", "left_anti")
+
+    # 7. mixture draw on (id, source, n_tokens) rows only
+    if mixture_weights is not None:
+        chosen = mix_corpus(kept, mixture_weights, total_tokens).select(
+            "doc_id")
+        kept = kept.join(chosen, "doc_id", "left_semi")
+
+    documents = kept
+
+    # 8. sequence packing (text never enters the packer)
+    packed = pack_sequences(
+        documents.select("doc_id", "source", "n_tokens"),
+        max_tokens=seq_len,
+        n_shards=pack_shards,
+    )
+
+    stats = (
+        documents.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("n_tokens"))
+    )
+    return {"documents": documents, "packed": packed, "stats": stats}

@@ -1,0 +1,110 @@
+"""End-to-end corpus build (`sparkocr.corpus.build_training_corpus`):
+one deterministic synthetic corpus with every defect planted — hot
+boilerplate lines, a duplicated passage, repeated paragraphs, an exact
+duplicate document, a benchmark-contaminated document — plus two
+sources for the mixture draw and the packer. Each stage's operator has
+its own oracle-gated tests; these tests pin the COMPOSITION: the right
+rows survive to the end, and the bookkeeping (stats, bins) agrees with
+the survivor set."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkocr.corpus import build_training_corpus
+
+BOILER = "accept all cookies to continue"
+PASSAGE = "p1 p2 p3 p4 p5 p6"  # duplicated 6-token passage
+PROBE = "benchmark question alpha bravo charlie"
+
+
+def _mk_docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs to "
+            "the old mill by the river where it rests for a while")
+    rows = []
+    # 12 web docs, each carrying the boilerplate line (hot at min_df=3)
+    for i in range(12):
+        body = f"{base} web variant {i} it is the day number {i}"
+        rows.append((i, "web", f"{BOILER}\n{body}"))
+    # docs 20/21: share the duplicated passage (first occurrence = 20)
+    rows.append((20, "web", f"{base} and then {PASSAGE} closes it"))
+    rows.append((21, "web", f"intro {PASSAGE} but the rest is {base}"))
+    # doc 30: exact duplicate of doc 0's body (same text post-strip)
+    rows.append((30, "web", f"{BOILER}\n{base} web variant 0 "
+                            "it is the day number 0"))
+    # doc 40: contaminated with the probe
+    rows.append((40, "web", f"{base} also {PROBE} appears here"))
+    # code source: 8 clean docs
+    for i in range(50, 58):
+        rows.append((i, "code", f"{base} code sample {i} with the "
+                                f"value {i * 3}"))
+    return spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    out = build_training_corpus(
+        _mk_docs(spark),
+        decontamination_probes=[PROBE],
+        mixture_weights={"web": 0.5, "code": 0.5},
+        total_tokens=400,
+        seq_len=64,
+        min_quality_tokens=10,
+        stop_ratio_band=(0.05, 0.6),
+        boiler_min_df=3,
+        substr_min_len=6,
+        ngram_n=5,
+    )
+    return {k: v.collect() for k, v in out.items()}
+
+
+def test_every_defect_is_gone(built):
+    docs = {r["doc_id"]: r for r in built["documents"]}
+    texts = [r["text"] for r in built["documents"]]
+    # boilerplate line stripped everywhere
+    assert all(BOILER not in t for t in texts)
+    # duplicated passage survives ONLY in its first occurrence (doc 20,
+    # if drawn); doc 21 lost it
+    if 21 in docs:
+        assert PASSAGE not in docs[21]["text"]
+    # exact duplicate (doc 30 == doc 0 post-strip): keeper is min id
+    assert 30 not in docs
+    # contaminated doc dropped
+    assert 40 not in docs
+    # survivors are real documents with the gate's floor
+    assert docs and all(r["n_tokens"] >= 10 for r in built["documents"])
+
+
+def test_mixture_budget_and_stats_agree(built):
+    docs = built["documents"]
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r["n_tokens"])
+    # per-source target = 200 tokens; reached (or source exhausted),
+    # overshot by less than one document
+    for src, toks in by_src.items():
+        got = sum(toks)
+        assert got < 200 + max(toks)
+    stats = {r["source"]: (r["n_docs"], r["n_tokens"])
+             for r in built["stats"]}
+    assert stats == {s: (len(t), sum(t)) for s, t in by_src.items()}
+
+
+def test_packing_covers_exactly_the_survivors(built):
+    packed = built["packed"]
+    assert sorted(r["id"] for r in packed) == \
+        sorted(r["doc_id"] for r in built["documents"])
+    bins = {}
+    for r in packed:
+        bins.setdefault((r["group"], r["shard"], r["bin"]), []).append(r)
+    for members in bins.values():
+        if not any(m["oversize"] for m in members):
+            assert sum(m["n_tokens"] for m in members) <= 64
+
+
+def test_arg_validation(spark):
+    docs = _mk_docs(spark)
+    with pytest.raises(ValueError, match="total_tokens"):
+        build_training_corpus(docs, mixture_weights={"web": 1.0})
+    with pytest.raises(ValueError, match="missing columns"):
+        build_training_corpus(docs.drop("source"))
