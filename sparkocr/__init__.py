@@ -18,9 +18,10 @@ Public surface map (reference analog in parens):
 - scale machinery:    :mod:`sparkocr.checkpoint` (resume),
   :mod:`sparkocr.streaming`, :mod:`sparkocr.sources`
 - training-data ops:  :mod:`sparkocr.analysis` (dedup family, sequence
-  packing), :mod:`sparkocr.ann` (similarity, semantic cluster dedup),
-  :mod:`sparkocr.relational` (as-of / interval joins),
-  :mod:`sparkocr.multimodal`
+  packing, corpus mixing, decontamination), :mod:`sparkocr.ann`
+  (similarity, semantic cluster dedup), :mod:`sparkocr.corpus` (the
+  composed end-to-end corpus build), :mod:`sparkocr.relational`
+  (as-of / interval joins), :mod:`sparkocr.multimodal`
 - C-ABI analog:       :mod:`sparkocr.handles` (engine handle registry,
   capi.rs parity: create/destroy/cleanup + RocrStatus codes)
 """
