@@ -108,3 +108,42 @@ def test_arg_validation(spark):
         build_training_corpus(docs, mixture_weights={"web": 1.0})
     with pytest.raises(ValueError, match="missing columns"):
         build_training_corpus(docs.drop("source"))
+
+
+def test_empty_corpus_flows_through(spark):
+    """Every new corpus operator returns empty (never raises) on an
+    empty table — the restart-from-zero / empty-partition path."""
+    from sparkocr.analysis import (dedup_paragraphs, dedup_substrings,
+                                   mix_corpus, ngram_contamination)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_substrings(empty, "doc_id", min_len=4).count() == 0
+    assert dedup_paragraphs(empty, "doc_id").count() == 0
+    assert ngram_contamination(empty, ["a b c"], "doc_id", n=3).count() == 0
+    et = spark.createDataFrame([], "doc_id long, source string, n_tokens long")
+    assert mix_corpus(et, {"a": 1.0}, 100).count() == 0
+
+
+def test_build_on_real_testdata(spark):
+    """The composed pipeline over the driver's documents table at
+    sf0.001: survives, keeps a sane fraction, and the packer covers
+    exactly the survivors."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "source", "text")
+    out = build_training_corpus(
+        docs, seq_len=4096, boiler_min_df=5, substr_min_len=10)
+    n_docs = out["documents"].count()
+    assert 0 < n_docs <= docs.count()
+    assert out["packed"].count() == n_docs
+    stats = out["stats"].collect()
+    assert sum(r["n_docs"] for r in stats) == n_docs
+
+
+def test_pipeline_plan_has_one_python_stage(spark):
+    """The only Python in the composed plan is the packer's
+    applyInPandas; every cleaning stage stays JVM-side."""
+    docs = _mk_docs(spark)
+    out = build_training_corpus(docs, boiler_min_df=3, substr_min_len=6)
+    plan = out["packed"]._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
