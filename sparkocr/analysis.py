@@ -1077,6 +1077,55 @@ def minhash_signatures(
     )
 
 
+def source_overlap_jaccard(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    n_hashes: int = 256,
+) -> DataFrame:
+    """Corpus-planning sketch: pairwise Jaccard similarity between
+    SOURCES' word-shingle sets, estimated from one per-source MinHash
+    signature — answers "how much does crawl A overlap crawl B" (i.e.
+    whether a cross-source dedup pass is worth scheduling) without ever
+    materializing or intersecting the shingle sets. The estimator is
+    the classic one: P[min agrees on stream i] = J(A,B), so the
+    fraction of agreeing streams is an unbiased Jaccard estimate with
+    stderr ≈ sqrt(J(1−J)/k) (~0.03 at k=256, J=0.5).
+
+    Scale shape: one corpus pass builds the signatures — the shingle
+    string is hashed once, the k streams are fixed-width re-hashes
+    (same device as :func:`minhash_signatures`), and the per-source
+    groupBy ships k longs per partial aggregate (map-side combine).
+    The pairwise comparison is over SOURCES (a handful of rows), a
+    broadcast self-join on ``a.source < b.source``; ``zip_with``
+    counts agreeing streams JVM-side. Deterministic: same input →
+    bit-identical estimates (seedless xxhash64 streams).
+
+    Returns (source_a, source_b, est_jaccard) for every unordered
+    source pair."""
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be ≥ 1")
+    sig = minhash_signatures(df, source_col, text_col,
+                             n_shingle=n_shingle, n_hashes=n_hashes)
+    a = sig.select(F.col("doc").alias("source_a"),
+                   F.col("signature").alias("sig_a"))
+    b = sig.select(F.col("doc").alias("source_b"),
+                   F.col("signature").alias("sig_b"))
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+        lambda m: m,
+    ))
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a", "source_b",
+            F.round(agree.cast("double") / F.lit(n_hashes), 6)
+            .alias("est_jaccard"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     key_col: str,

@@ -366,3 +366,52 @@ def test_ngram_contamination_rejects_bad_args(spark):
         ngram_contamination(df, ["a b"], "doc_id", n=0)
     with pytest.raises(ValueError, match="shorter than n"):
         ngram_contamination(df, ["a b c", "a b"], "doc_id", n=3)
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_jaccard
+
+
+def test_source_overlap_extremes(spark):
+    from sparkocr.analysis import source_overlap_jaccard
+    rows = [
+        (0, "same text shared by both sources exactly", "a"),
+        (1, "same text shared by both sources exactly", "b"),
+        (2, "completely different words in this one here", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r["est_jaccard"]
+           for r in source_overlap_jaccard(df).collect()}
+    assert got[("a", "b")] == 1.0   # identical shingle sets
+    assert got[("a", "c")] == 0.0   # disjoint
+    assert got[("b", "c")] == 0.0
+
+
+def test_source_overlap_tracks_exact_jaccard(spark):
+    """The k=256 estimate lands within ~3 stderr of the exact Jaccard
+    of the sources' 3-shingle sets (computed string-keyed in Python)."""
+    from sparkocr.analysis import source_overlap_jaccard
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(40):
+        toks = [vocab[(d * 7 + j) % 30] for j in range(12)]
+        rows.append((d, " ".join(toks), "a" if d % 2 else "b"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def shingles(src):
+        out = set()
+        for d, text, s in rows:
+            if s != src:
+                continue
+            t = text.split(" ")
+            out.update(" ".join(t[i:i + 3]) for i in range(len(t) - 2))
+        return out
+    sa, sb = shingles("a"), shingles("b")
+    exact = len(sa & sb) / len(sa | sb)
+    [r] = source_overlap_jaccard(df).collect()
+    stderr = (exact * (1 - exact) / 256) ** 0.5
+    assert abs(r["est_jaccard"] - exact) <= max(3 * stderr, 0.02), \
+        (r["est_jaccard"], exact)
+    # deterministic: a second run is bit-identical
+    [r2] = source_overlap_jaccard(df).collect()
+    assert r2["est_jaccard"] == r["est_jaccard"]
