@@ -267,31 +267,39 @@ def strip_boilerplate_lines(
         .join(hot, "line_h", "left_anti")
         .drop("line_h")
     )
+    # all_docs derived from the (materialized) hash table, not a third
+    # source scan
+    return _reassemble_docs(kept, hashed.select("doc").distinct(),
+                            "line", "\n", "n_lines_kept")
+
+
+def _reassemble_docs(kept: DataFrame, all_docs: DataFrame, unit_col: str,
+                     sep: str, count_alias: str) -> DataFrame:
+    """Order-pinned per-doc reassembly of surviving (doc, pos, unit)
+    rows, with the lost-everything contract: a doc whose EVERY unit was
+    dropped still appears (empty text, zero count) — "was 100% dropped"
+    and "never existed" are different facts downstream. THE single home
+    of this contract for the line/paragraph strippers."""
     agg = (
         kept.groupBy("doc")
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda x: x["line"],
+                    F.array_sort(F.collect_list(F.struct("pos", unit_col))),
+                    lambda x: x[unit_col],
                 ),
-                "\n",
+                sep,
             ).alias("clean_text"),
-            F.count("*").cast("long").alias("n_lines_kept"),
+            F.count("*").cast("long").alias(count_alias),
         )
     )
-    # a doc whose EVERY line is boilerplate must still appear (empty,
-    # zero lines) — "was 100% boilerplate" and "never existed" are
-    # different facts downstream. Derived from the (materialized) hash
-    # table, not a third source scan.
-    all_docs = hashed.select("doc").distinct()
     return (
         all_docs.join(agg, "doc", "left")
         .select(
             "doc",
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_lines_kept", F.lit(0)).cast("long")
-            .alias("n_lines_kept"),
+            F.coalesce(count_alias, F.lit(0)).cast("long")
+            .alias(count_alias),
         )
     )
 
@@ -350,31 +358,8 @@ def dedup_paragraphs(
         .select("doc", "pos")
     )
     kept = paras.join(losers, ["doc", "pos"], "left_anti")
-    agg = (
-        kept.groupBy("doc")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                    lambda x: x["para"],
-                ),
-                sep,
-            ).alias("clean_text"),
-            F.count("*").cast("long").alias("n_paras_kept"),
-        )
-    )
-    # a doc whose every paragraph was a later copy must still appear
-    # (empty, zero kept) — same contract as strip_boilerplate_lines
-    all_docs = hashed.select("doc").distinct()
-    return (
-        all_docs.join(agg, "doc", "left")
-        .select(
-            "doc",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_paras_kept", F.lit(0)).cast("long")
-            .alias("n_paras_kept"),
-        )
-    )
+    return _reassemble_docs(kept, hashed.select("doc").distinct(),
+                            "para", sep, "n_paras_kept")
 
 
 def _window_hashes(df: DataFrame, key_col: str, text_col: str,
@@ -556,7 +541,9 @@ def ngram_contamination(
         doc_wins.join(F.broadcast(probe_wins), "whash")
         .groupBy("doc")
         .agg(
-            F.count("*").cast("long").alias("n_hit_windows"),
+            # distinct wpos, not join rows: an n-gram shared by several
+            # probes is still ONE hit window in the document
+            F.countDistinct("wpos").cast("long").alias("n_hit_windows"),
             F.countDistinct("probe_id").cast("long").alias("n_probes_hit"),
         )
     )
@@ -750,7 +737,10 @@ def mix_corpus(
     narrow = (
         df.select(
             F.col(source_col).alias("source"),
-            F.col(id_col).cast("long").alias("id"),
+            # id is carried through untouched (any orderable type — the
+            # order key hashes its string form); casting here would
+            # crash ANSI runs or null out string ids
+            F.col(id_col).alias("id"),
             F.col(token_col).cast("long").alias("n_tokens"),
             ord_key.alias("ord_key"),
         )
@@ -784,7 +774,11 @@ def mix_corpus(
         )
         .withColumn(
             "b_state",
-            F.when(F.col("b_before") + F.col("b_tokens") <= F.col("target"),
+            # strict <: a bucket summing EXACTLY to the target must take
+            # the boundary path — under "all" a zero-token doc sitting
+            # at cum_before == target would be kept, diverging from the
+            # naive spec (cum_before < target) only at some n_buckets
+            F.when(F.col("b_before") + F.col("b_tokens") < F.col("target"),
                    F.lit("all"))
             .when(F.col("b_before") >= F.col("target"), F.lit("none"))
             .otherwise(F.lit("boundary")),
@@ -812,7 +806,9 @@ def mix_corpus(
     )
     return (
         whole.unionByName(edge)
-        .select("source", F.col("id").alias(id_col), "n_tokens")
+        .select(F.col("source").alias(source_col),
+                F.col("id").alias(id_col),
+                F.col("n_tokens").alias(token_col))
     )
 
 
@@ -1102,16 +1098,23 @@ def source_overlap_jaccard(
     counts agreeing streams JVM-side. Deterministic: same input →
     bit-identical estimates (seedless xxhash64 streams).
 
-    Returns (source_a, source_b, est_jaccard) for every unordered
-    source pair."""
+    Returns (source_a, source_b, est_jaccard) for EVERY unordered
+    source pair — a source whose documents are all shorter than
+    ``n_shingle`` tokens has an empty shingle set and reports 0.0
+    against everything (Jaccard with an empty set), rather than
+    silently dropping its pairs."""
     if n_hashes < 1:
         raise ValueError("n_hashes must be ≥ 1")
     sig = minhash_signatures(df, source_col, text_col,
                              n_shingle=n_shingle, n_hashes=n_hashes)
-    a = sig.select(F.col("doc").alias("source_a"),
-                   F.col("signature").alias("sig_a"))
-    b = sig.select(F.col("doc").alias("source_b"),
-                   F.col("signature").alias("sig_b"))
+    # left-join signatures onto the full source list: shingle-less
+    # sources keep a null signature and score 0.0 below
+    srcs = (df.select(F.col(source_col).alias("src")).distinct()
+            .join(sig.withColumnRenamed("doc", "src"), "src", "left"))
+    a = srcs.select(F.col("src").alias("source_a"),
+                    F.col("signature").alias("sig_a"))
+    b = srcs.select(F.col("src").alias("source_b"),
+                    F.col("signature").alias("sig_b"))
     agree = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
         lambda m: m,
@@ -1120,7 +1123,9 @@ def source_overlap_jaccard(
         a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
         .select(
             "source_a", "source_b",
-            F.round(agree.cast("double") / F.lit(n_hashes), 6)
+            F.when(F.col("sig_a").isNull() | F.col("sig_b").isNull(),
+                   F.lit(0.0))
+            .otherwise(F.round(agree.cast("double") / F.lit(n_hashes), 6))
             .alias("est_jaccard"),
         )
     )

@@ -415,3 +415,62 @@ def test_source_overlap_tracks_exact_jaccard(spark):
     # deterministic: a second run is bit-identical
     [r2] = source_overlap_jaccard(df).collect()
     assert r2["est_jaccard"] == r["est_jaccard"]
+
+
+# ---------------------------------------------------------------------------
+# review-found regressions
+
+
+def test_mix_corpus_string_ids_and_custom_names(spark):
+    """Ids of any orderable type round-trip untouched (no long cast);
+    source/token column names are honored in the output."""
+    from sparkocr.analysis import mix_corpus
+    rows = [(f"doc-{i}", f"s{i % 2}", 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "uid string, corpus string, toks long")
+    out = mix_corpus(df, {"s0": 1.0, "s1": 1.0}, 100, id_col="uid",
+                     token_col="toks", source_col="corpus")
+    assert out.columns == ["corpus", "uid", "toks"]
+    got = out.collect()
+    assert got and all(r["uid"].startswith("doc-") for r in got)
+
+
+def test_mix_corpus_zero_token_docs_bucket_invariant(spark):
+    """Zero-token docs at an exact bucket boundary must not flip with
+    n_buckets: every bucketing matches the naive global-window spec."""
+    rows = []
+    for i in range(120):
+        # every third doc carries zero tokens; targets will land exactly
+        # on bucket sums for some n_buckets
+        rows.append((i, "s", 0 if i % 3 == 0 else 5))
+    weights, total = {"s": 1.0}, 100
+    oracle = sorted(_naive_oracle(rows, weights, total))
+    df = _corpus(spark, rows)
+    for nb in (1, 4, 64, 256):
+        got = sorted((r["source"], r["doc_id"], r["n_tokens"])
+                     for r in mix_corpus(df, weights, total,
+                                         n_buckets=nb).collect())
+        assert got == oracle, f"n_buckets={nb} diverged on zero-token docs"
+
+
+def test_ngram_contamination_shared_gram_counts_once(spark):
+    """An n-gram appearing in several probes is one hit window."""
+    rows = [(0, "x a b c y")]
+    got = ngram_contamination(_docs(spark, rows),
+                              ["a b c", "z a b c"], "doc_id", n=3).collect()
+    assert [(r["doc"], r["n_hit_windows"], r["n_probes_hit"])
+            for r in got] == [(0, 1, 2)]
+
+
+def test_source_overlap_reports_shingleless_sources(spark):
+    """A source with no n_shingle-length docs still appears in every
+    pair, scoring 0.0 — pairs never silently vanish."""
+    from sparkocr.analysis import source_overlap_jaccard
+    rows = [
+        (0, "shared words run together here", "a"),
+        (1, "shared words run together here", "c"),
+        (2, "tiny", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r["est_jaccard"]
+           for r in source_overlap_jaccard(df).collect()}
+    assert got == {("a", "b"): 0.0, ("a", "c"): 1.0, ("b", "c"): 0.0}
