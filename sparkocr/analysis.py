@@ -680,6 +680,82 @@ def pack_sequences(
     return narrow.groupBy("group", "shard").applyInPandas(pack, out_schema)
 
 
+def chunk_conversations(
+    df: DataFrame,
+    max_tokens: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Split each conversation into CONTIGUOUS training windows of at
+    most ``max_tokens`` tokens — the SFT/chat-data sibling of
+    :func:`pack_sequences`: where the packer bins unordered documents,
+    this keeps every conversation's turns in ``order_col`` order, never
+    reorders across conversations, and never splits a turn. Greedy:
+    a chunk closes when the next turn would overflow it; a single turn
+    larger than ``max_tokens`` becomes its own chunk flagged
+    ``oversize`` (truncation is the caller's policy, same contract as
+    the packer).
+
+    Greedy boundaries depend on every prior turn, so each conversation
+    is one sequential ``applyInPandas`` scan over its (order, n_tokens)
+    rows — turn TEXT never enters the chunker; callers join chunk ids
+    back by (conv, turn). Group size is one conversation (naturally
+    bounded — the conv_id skew story of the extract engine does not
+    apply to a per-conv scan of ~8-byte rows).
+
+    Columns: (conv, chunk, pos, turn, n_tokens, oversize); ``chunk`` is
+    dense per conversation, ``pos`` the turn's index inside its chunk."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+
+    out_schema = StructType([
+        StructField("conv", StringType()),
+        StructField("chunk", LongType()),
+        StructField("pos", IntegerType()),
+        StructField("turn", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("oversize", IntegerType()),
+    ])
+
+    def chunk(key, pdf):
+        pdf = pdf.sort_values("turn", kind="mergesort")
+        toks = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        n = len(toks)
+        chunks = np.zeros(n, dtype=np.int64)
+        pos = np.zeros(n, dtype=np.int32)
+        cur, cur_sum, cur_pos = 0, 0, 0
+        for i in range(n):
+            t = int(toks[i])
+            if cur_pos > 0 and cur_sum + t > max_tokens:
+                cur += 1
+                cur_sum, cur_pos = 0, 0
+            chunks[i] = cur
+            pos[i] = cur_pos
+            cur_sum += t
+            cur_pos += 1
+            if t > max_tokens:
+                cur += 1
+                cur_sum, cur_pos = 0, 0
+        return pd.DataFrame({
+            "conv": np.repeat(key[0], n),
+            "chunk": chunks,
+            "pos": pos,
+            "turn": pdf["turn"].to_numpy(dtype=np.int64),
+            "n_tokens": toks,
+            "oversize": (toks > max_tokens).astype(np.int32),
+        })
+
+    narrow = df.select(
+        F.col(conv_col).cast("string").alias("conv"),
+        F.col(order_col).cast("long").alias("turn"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+    return narrow.groupBy("conv").applyInPandas(chunk, out_schema)
+
+
 def mix_corpus(
     df: DataFrame,
     weights: dict[str, float],

@@ -474,3 +474,37 @@ def test_source_overlap_reports_shingleless_sources(spark):
     got = {(r["source_a"], r["source_b"]): r["est_jaccard"]
            for r in source_overlap_jaccard(df).collect()}
     assert got == {("a", "b"): 0.0, ("a", "c"): 1.0, ("b", "c"): 0.0}
+
+
+# ---------------------------------------------------------------------------
+# randomized sweep: substring dedup vs the brute oracle
+
+
+def test_substr_dedup_randomized_sweep_matches_brute(spark):
+    """Seeded randomized corpora (varying doc counts, lengths, dup
+    plant rates, window lengths) — every one must match the
+    string-keyed brute-force spec exactly. Catches span-merge and
+    first-occurrence edge cases no hand golden thought of."""
+    import random
+    for seed in range(6):
+        rng = random.Random(seed)
+        L = rng.choice([3, 4, 5])
+        vocab = [f"v{i}" for i in range(rng.choice([6, 10, 20]))]
+        shared = [f"s{i}" for i in range(L + rng.randrange(4))]
+        rows = []
+        for d in range(rng.choice([8, 25])):
+            toks = [rng.choice(vocab)
+                    for _ in range(rng.randrange(0, 18))]
+            if rng.random() < 0.5 and toks:
+                # plant the shared run (possibly twice in one doc)
+                at = rng.randrange(len(toks) + 1)
+                toks[at:at] = shared
+                if rng.random() < 0.3:
+                    toks.extend(shared)
+            rows.append((d, " ".join(toks)))
+        want = _brute_substr(rows, L)
+        got = {r["doc"]: (r["clean_text"], r["n_tokens_removed"])
+               for r in dedup_substrings(
+                   _docs(spark, rows).repartition(5), "doc_id",
+                   min_len=L).collect()}
+        assert got == want, f"seed={seed} L={L} diverged"

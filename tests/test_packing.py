@@ -196,3 +196,77 @@ def test_cluster_neardup_equals_within_cluster_exact(spark):
     # vector)
     for j, src in enumerate([0, 1, 2]):
         assert (src, 100 + j) in got and got[(src, 100 + j)] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# chunk_conversations
+
+
+def _cdf(spark, rows):
+    from pyspark.sql import SparkSession  # noqa: F401
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, n_tokens long")
+
+
+def test_chunk_conversations_hand_golden(spark):
+    from sparkocr.analysis import chunk_conversations
+    rows = [("c", 0, 30), ("c", 1, 30), ("c", 2, 10),   # 30+30 | next
+            ("c", 3, 70),                               # oversize alone
+            ("c", 4, 5)]
+    got = sorted(
+        (r["turn"], r["chunk"], r["pos"], r["oversize"])
+        for r in chunk_conversations(_cdf(spark, rows), 64).collect()
+    )
+    # turn2 (10) joins chunk0? 30+30=60, +10=70 > 64 → turn2 opens chunk1;
+    # turn3 (70>64) overflows chunk1 → own chunk2 flagged; turn4 → chunk3
+    assert got == [(0, 0, 0, 0), (1, 0, 1, 0), (2, 1, 0, 0),
+                   (3, 2, 0, 1), (4, 3, 0, 0)]
+
+
+def test_chunk_conversations_matches_reference_loop(spark):
+    """Randomized convs vs an independent reference loop (the greedy
+    spec, written straight); chunks must be contiguous in turn order
+    and cover every turn exactly once."""
+    import random
+    from sparkocr.analysis import chunk_conversations
+    rng = random.Random(3)
+    rows = []
+    for c in range(25):
+        for t in range(rng.randrange(1, 30)):
+            rows.append((f"conv{c}", t,
+                         130 if rng.random() < 0.05
+                         else rng.randrange(1, 60)))
+    B = 128
+    want = {}
+    by_conv = {}
+    for c, t, n in rows:
+        by_conv.setdefault(c, []).append((t, n))
+    for c, turns in by_conv.items():
+        cur, cur_sum, cur_pos = 0, 0, 0
+        for t, n in sorted(turns):
+            if cur_pos > 0 and cur_sum + n > B:
+                cur, cur_sum, cur_pos = cur + 1, 0, 0
+            want[(c, t)] = (cur, cur_pos, int(n > B))
+            cur_sum += n
+            cur_pos += 1
+            if n > B:
+                cur, cur_sum, cur_pos = cur + 1, 0, 0
+    got = {(r["conv"], r["turn"]): (r["chunk"], r["pos"], r["oversize"])
+           for r in chunk_conversations(
+               _cdf(spark, rows).repartition(7), B).collect()}
+    assert got == want
+    # chunk token sums respect the budget except single-oversize chunks
+    sums = {}
+    toks = {(c, t): n for c, t, n in rows}
+    for (c, t), (ch, _, ov) in got.items():
+        sums.setdefault((c, ch), []).append((toks[(c, t)], ov))
+    for members in sums.values():
+        if not any(ov for _, ov in members):
+            assert sum(n for n, _ in members) <= B
+
+
+def test_chunk_conversations_rejects_bad_budget(spark):
+    import pytest as _pytest
+    from sparkocr.analysis import chunk_conversations
+    with _pytest.raises(ValueError):
+        chunk_conversations(_cdf(spark, [("c", 0, 1)]), 0)
