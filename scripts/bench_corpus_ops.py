@@ -2,8 +2,13 @@
 the SAME replicated corpus at two parallelism levels (local[N] vs
 local[4N]) and report throughput at both plus the scaling efficiency —
 the two-cluster-size evidence of the north rule, applied to the
-training-data operators (the extraction engine's own cohort-based study
-lives in bench.py / BENCH/SCALING_NOTES.md).
+training-data operators. (The extraction engine's own pinned-executor
+cohort study lives in bench.py / BENCH/SCALING_NOTES.md; the cohort
+design can't be reused here because these operators are SHUFFLE-heavy —
+sharding the corpus per executor would dedup each shard independently
+and change the semantics — so this probe scales task slots inside one
+session instead, with the process CPU-pinned so local[N] really has N
+CPUs rather than N task slots on a 32-CPU box.)
 
 Usage: python scripts/bench_corpus_ops.py [--replicas 40] [--n 8]
 
@@ -11,7 +16,9 @@ The corpus is the sf0.1 documents table replicated --replicas times;
 each replica appends a replica-unique token so replication itself does
 not manufacture whole-document duplicates (the natural duplicate rate
 of the base corpus is preserved; substring dedup still finds the real
-planted passages in every replica). Results print as one JSON line.
+planted passages in every replica). Each config runs in a fresh
+CPU-pinned subprocess; passes interleave N/4N so one machine-load burst
+cannot poison a single config. Results print as one JSON line.
 """
 
 from __future__ import annotations
@@ -19,53 +26,55 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
-
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = "/root/testdata/sf0.1"
 
-
-def _session(cores: int) -> SparkSession:
-    return (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(f"corpus-ops-scaling-{cores}")
-        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "16g")
-        .getOrCreate()
-    )
+# ---------------------------------------------------------------------------
+# child mode: pin to the first N CPUs, run the operator suite once
 
 
-def _corpus(spark: SparkSession, replicas: int):
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "doc_id", "source", "text")
-    reps = spark.range(replicas).select(F.col("id").alias("rep"))
-    return (
-        docs.crossJoin(reps)
-        .select(
-            (F.col("doc_id") * replicas + F.col("rep")).alias("doc_id"),
-            "source",
-            F.concat_ws(" ", "text",
-                        F.concat(F.lit("rep"), F.col("rep"))).alias("text"),
-        )
-        .repartition(64)
-    )
+def _child(cores: int, replicas: int) -> None:
+    # pin BEFORE the JVM spawns: pyspark's java child inherits the
+    # affinity mask, so local[N] gets N real CPUs, not N slots on 32
+    os.sched_setaffinity(0, set(range(cores)))
+    sys.path.insert(0, REPO)
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
-
-def _run(cores: int, replicas: int) -> dict:
     from sparkocr.analysis import (dedup_paragraphs, dedup_substrings,
                                    mix_corpus, pack_sequences)
 
-    spark = _session(cores)
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"corpus-ops-scaling-{cores}")
+        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
     try:
-        corpus = _corpus(spark, replicas).localCheckpoint(eager=True)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "source", "text")
+        reps = spark.range(replicas).select(F.col("id").alias("rep"))
+        corpus = (
+            docs.crossJoin(reps)
+            .select(
+                (F.col("doc_id") * replicas + F.col("rep")).alias("doc_id"),
+                "source",
+                F.concat_ws(" ", "text",
+                            F.concat(F.lit("rep"), F.col("rep"))).alias("text"),
+            )
+            .repartition(4 * cores)
+            .localCheckpoint(eager=True)
+        )
         n_docs = corpus.count()
-        out = {}
+        out: dict = {"n_docs": n_docs}
 
         t = time.time()
         dedup_substrings(corpus, "doc_id", min_len=20) \
@@ -83,17 +92,28 @@ def _run(cores: int, replicas: int) -> dict:
             F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
         chosen = mix_corpus(toks, {"web": 0.6, "books": 0.3, "code": 0.1},
                             2_000_000)
-        pack_sequences(chosen, max_tokens=4096, n_shards=4) \
+        # shard count follows the cluster size — at a fixed 4 shards the
+        # packer tops out at (sources x 4) tasks and CANNOT scale
+        pack_sequences(chosen, max_tokens=4096, n_shards=2 * cores) \
             .write.format("noop").mode("overwrite").save()
         out["mix_pack_sec"] = round(time.time() - t, 2)
 
-        out["n_docs"] = n_docs
         out["total_sec"] = round(
             out["substr_sec"] + out["para_sec"] + out["mix_pack_sec"], 2)
         out["docs_per_sec"] = round(n_docs / out["total_sec"], 1)
-        return out
+        print("RESULT " + json.dumps(out), flush=True)
     finally:
         spark.stop()
+
+
+def _run(cores: int, replicas: int) -> dict:
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--_child",
+         str(cores), "--replicas", str(replicas)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        timeout=1800, check=True)
+    line = next(l for l in p.stdout.splitlines() if l.startswith("RESULT "))
+    return json.loads(line[len("RESULT "):])
 
 
 def main() -> None:
@@ -101,14 +121,20 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=40)
     ap.add_argument("--n", type=int, default=8,
                     help="small cluster size; the large one is 4n")
+    ap.add_argument("--_child", type=int, default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+    if args._child is not None:
+        _child(args._child, args.replicas)
+        return
 
     # interleave N / 4N passes (best of 2 each) so one machine-load
     # burst cannot poison a single config
     results: dict[int, list[dict]] = {args.n: [], 4 * args.n: []}
     for _ in range(2):
         for cores in (args.n, 4 * args.n):
-            results[cores].append(_run(cores, args.replicas))
+            r = _run(cores, args.replicas)
+            print(f"# local[{cores}]: {r}", file=sys.stderr, flush=True)
+            results[cores].append(r)
     best = {c: min(rs, key=lambda r: r["total_sec"])
             for c, rs in results.items()}
     small, large = best[args.n], best[4 * args.n]
@@ -118,7 +144,7 @@ def main() -> None:
         for op in ("substr_sec", "para_sec", "mix_pack_sec")
     }
     print(json.dumps({
-        "metric": "corpus-ops throughput, local[N] vs local[4N]",
+        "metric": "corpus-ops throughput, local[N] vs local[4N], CPU-pinned",
         "n_docs": small["n_docs"],
         "n_cores": [args.n, 4 * args.n],
         "per_op_sec": {f"local[{c}]": {k: v for k, v in best[c].items()

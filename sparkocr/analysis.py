@@ -756,6 +756,100 @@ def chunk_conversations(
     return narrow.groupBy("conv").applyInPandas(chunk, out_schema)
 
 
+def sft_mask_spans(
+    df: DataFrame,
+    max_tokens: int,
+    trainable_roles: tuple[str, ...] = ("assistant",),
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-turn loss-mask spans for SFT training windows: chunk each
+    conversation with :func:`chunk_conversations`, then give every turn
+    its token offset range [start_tok, end_tok) INSIDE its chunk plus a
+    ``trainable`` flag (1 iff ``role_col`` ∈ ``trainable_roles`` — the
+    usual mask-everything-but-assistant policy; pass more roles to
+    train on tool outputs too). A trainer consumes this as "tokens
+    start_tok..end_tok of chunk (conv, chunk) contribute to the loss".
+
+    Everything after the chunker is built-ins: one (conv, turn)
+    equi-join to bring the role back, one windowed running sum per
+    (conv, chunk) for the offsets — both shuffle only ~40-byte rows,
+    never turn text; window groups are single chunks (≤max_tokens
+    tokens), so no skew. Output: (conv, chunk, turn, role, start_tok,
+    end_tok, trainable), one row per turn."""
+    chunks = chunk_conversations(
+        df, max_tokens, conv_col=conv_col, order_col=order_col,
+        token_col=token_col)
+    roles = df.select(
+        F.col(conv_col).cast("string").alias("conv"),
+        F.col(order_col).cast("long").alias("turn"),
+        F.col(role_col).cast("string").alias("role"),
+    )
+    w = (Window.partitionBy("conv", "chunk").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    end = F.sum("n_tokens").over(w)
+    return (
+        chunks.join(roles, ["conv", "turn"])
+        .select(
+            "conv", "chunk", "turn", "role",
+            (end - F.col("n_tokens")).cast("long").alias("start_tok"),
+            end.cast("long").alias("end_tok"),
+            F.col("role").isin(*trainable_roles).cast("int")
+            .alias("trainable"),
+        )
+    )
+
+
+def dedup_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Whole-conversation exact dedup: two conversations are duplicates
+    iff they have the same turn texts in the same turn order (turn
+    indices may differ — a re-crawled conversation renumbered 0..n
+    still matches). Returns (conv, fingerprint, keep) — keeper is the
+    min conv id per fingerprint, first-occurrence-wins like the
+    document-level :func:`exact_dedup`.
+
+    Scale shape: each turn's text is hashed to 8 bytes WHERE IT SITS
+    (xxhash64, no shuffle), the per-conv fingerprint is a sort_array +
+    aggregate fold over (turn, hash) structs inside one groupBy — so
+    the only shuffle carries (conv, turn-hash) rows and the keeper
+    window runs on conv-count-sized data. Turn text never moves."""
+    per_turn = df.select(
+        F.col(conv_col).cast("string").alias("conv"),
+        F.struct(
+            F.col(order_col).cast("long").alias("turn"),
+            # NULL text hashes to xxhash64's seed (a stable value distinct
+            # from every real string's hash) - no sentinel needed
+            F.xxhash64(F.col(text_col).cast("string")).alias("h"),
+        ).alias("th"),
+    )
+    # order-invariant collect, then an order-DEPENDENT fold: sorting the
+    # (turn, hash) structs recovers turn order, and folding sequentially
+    # makes the fingerprint sensitive to it (hash(a,b) != hash(b,a))
+    fps = (
+        per_turn.groupBy("conv")
+        .agg(F.sort_array(F.collect_list("th")).alias("ths"))
+        .select(
+            "conv",
+            F.aggregate(
+                "ths", F.lit(0).cast("long"),
+                lambda acc, s: F.xxhash64(acc, s["h"]),
+            ).alias("fingerprint"),
+        )
+    )
+    w = Window.partitionBy("fingerprint").orderBy("conv")
+    return fps.select(
+        "conv", "fingerprint",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )
+
+
 def mix_corpus(
     df: DataFrame,
     weights: dict[str, float],

@@ -508,3 +508,64 @@ def test_substr_dedup_randomized_sweep_matches_brute(spark):
                    _docs(spark, rows).repartition(5), "doc_id",
                    min_len=L).collect()}
         assert got == want, f"seed={seed} L={L} diverged"
+
+
+# ---------------------------------------------------------------------------
+# dedup_conversations
+
+
+def _convs(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, text string")
+
+
+def test_dedup_conversations_hand_golden(spark):
+    from sparkocr.analysis import dedup_conversations
+    rows = [
+        ("a", 0, "x"), ("a", 1, "y"), ("a", 2, "z"),
+        # same texts, renumbered turns -> duplicate of a
+        ("b", 5, "x"), ("b", 6, "y"), ("b", 7, "z"),
+        # same multiset, different order -> NOT a duplicate
+        ("c", 0, "x"), ("c", 1, "z"), ("c", 2, "y"),
+        # prefix only -> NOT a duplicate
+        ("d", 0, "x"), ("d", 1, "y"),
+    ]
+    got = {r["conv"]: (r["fingerprint"], r["keep"])
+           for r in dedup_conversations(_convs(spark, rows)).collect()}
+    assert got["a"][0] == got["b"][0]
+    assert len({fp for fp, _ in got.values()}) == 3
+    assert [got[c][1] for c in "abcd"] == [1, 0, 1, 1]
+
+
+def test_dedup_conversations_matches_reference_grouping(spark):
+    """Randomized corpus with planted duplicates vs the obvious spec:
+    group by the ordered tuple of turn texts, keep min conv id."""
+    import random
+    from sparkocr.analysis import dedup_conversations
+    rng = random.Random(5)
+    rows, texts_of = [], {}
+    for c in range(30):
+        cid = f"conv{c:02d}"
+        if c >= 10 and rng.random() < 0.4:
+            # duplicate an earlier conversation, renumbering turns
+            src = texts_of[f"conv{rng.randrange(c - 5, c):02d}"]
+            texts = list(src)
+        else:
+            texts = [f"t{rng.randrange(8)}"
+                     for _ in range(rng.randrange(1, 6))]
+        texts_of[cid] = tuple(texts)
+        base = rng.randrange(0, 100)
+        rows.extend((cid, base + i, tx) for i, tx in enumerate(texts))
+    keepers = {}
+    for cid, key in texts_of.items():
+        keepers[key] = min(keepers.get(key, cid), cid)
+    want = {cid: int(keepers[texts_of[cid]] == cid) for cid in texts_of}
+    out = dedup_conversations(_convs(spark, rows).repartition(7)).collect()
+    got = {r["conv"]: r["keep"] for r in out}
+    assert got == want
+    # fingerprints agree exactly with text-tuple identity
+    fp = {r["conv"]: r["fingerprint"] for r in out}
+    for c1 in texts_of:
+        for c2 in texts_of:
+            assert (fp[c1] == fp[c2]) == (texts_of[c1] == texts_of[c2]), \
+                (c1, c2)

@@ -270,3 +270,73 @@ def test_chunk_conversations_rejects_bad_budget(spark):
     from sparkocr.analysis import chunk_conversations
     with _pytest.raises(ValueError):
         chunk_conversations(_cdf(spark, [("c", 0, 1)]), 0)
+
+
+# ---------------------------------------------------------------------------
+# sft_mask_spans
+
+
+def _rdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, n_tokens long")
+
+
+def test_sft_mask_spans_hand_golden(spark):
+    from sparkocr.analysis import sft_mask_spans
+    rows = [("c", 0, "user", 30), ("c", 1, "assistant", 30),
+            ("c", 2, "user", 10), ("c", 3, "tool", 70),
+            ("c", 4, "assistant", 5)]
+    got = sorted(
+        (r["turn"], r["chunk"], r["start_tok"], r["end_tok"], r["trainable"])
+        for r in sft_mask_spans(_rdf(spark, rows), 64).collect()
+    )
+    # chunk boundaries as in the chunker golden; offsets restart per chunk
+    assert got == [(0, 0, 0, 30, 0), (1, 0, 30, 60, 1),
+                   (2, 1, 0, 10, 0), (3, 2, 0, 70, 0),
+                   (4, 3, 0, 5, 1)]
+
+
+def test_sft_mask_spans_matches_reference_loop(spark):
+    """Randomized convs vs a straight-line reference (greedy chunking +
+    running offsets + role flag), including a non-default trainable-role
+    set; spans must tile each chunk exactly."""
+    import random
+    from sparkocr.analysis import sft_mask_spans
+    rng = random.Random(11)
+    roles = ["system", "user", "assistant", "tool"]
+    rows = []
+    for c in range(20):
+        for t in range(rng.randrange(1, 25)):
+            rows.append((f"conv{c}", t, rng.choice(roles),
+                         150 if rng.random() < 0.05
+                         else rng.randrange(1, 60)))
+    B, TR = 128, ("assistant", "tool")
+    want = {}
+    by_conv = {}
+    for c, t, role, n in rows:
+        by_conv.setdefault(c, []).append((t, role, n))
+    for c, turns in by_conv.items():
+        cur, cur_sum, cur_pos = 0, 0, 0
+        for t, role, n in sorted(turns):
+            if cur_pos > 0 and cur_sum + n > B:
+                cur, cur_sum, cur_pos = cur + 1, 0, 0
+            want[(c, t)] = (cur, cur_sum, cur_sum + n, int(role in TR))
+            cur_sum += n
+            cur_pos += 1
+            if n > B:
+                cur, cur_sum, cur_pos = cur + 1, 0, 0
+    got = {(r["conv"], r["turn"]):
+           (r["chunk"], r["start_tok"], r["end_tok"], r["trainable"])
+           for r in sft_mask_spans(
+               _rdf(spark, rows).repartition(6), B,
+               trainable_roles=TR).collect()}
+    assert got == want
+    # spans tile: per chunk, sorted spans are contiguous from 0
+    spans = {}
+    for (c, t), (ch, s, e, _) in got.items():
+        spans.setdefault((c, ch), []).append((s, e))
+    for members in spans.values():
+        members.sort()
+        assert members[0][0] == 0
+        for (s1, e1), (s2, e2) in zip(members, members[1:]):
+            assert s2 == e1
