@@ -20,8 +20,10 @@ Public surface map (reference analog in parens):
 - training-data ops:  :mod:`sparkocr.analysis` (dedup family, sequence
   packing, corpus mixing, decontamination), :mod:`sparkocr.ann`
   (similarity, semantic cluster dedup), :mod:`sparkocr.corpus` (the
-  composed end-to-end corpus build), :mod:`sparkocr.relational`
-  (as-of / interval joins), :mod:`sparkocr.multimodal`
+  composed end-to-end corpus build), :mod:`sparkocr.lm` (perplexity
+  scoring, DSIR resampling, BPE train/encode),
+  :mod:`sparkocr.relational` (as-of / interval joins),
+  :mod:`sparkocr.multimodal`
 - C-ABI analog:       :mod:`sparkocr.handles` (engine handle registry,
   capi.rs parity: create/destroy/cleanup + RocrStatus codes)
 """
