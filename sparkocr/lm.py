@@ -357,6 +357,181 @@ def dsir_sample(weights: DataFrame, k: int,
 
 
 # ---------------------------------------------------------------------------
+# fastText-style quality classifier: hashed bag-of-n-grams logistic
+# regression, full-batch gradient descent as DataFrame aggregations
+
+
+@dataclass(frozen=True)
+class QualityClassifier:
+    """A trained quality model: a (bucket, weight) table (≤ n_buckets
+    rows — broadcastable by construction), the bias, and the training
+    log-loss history (one float per iteration, for monitoring)."""
+
+    table: DataFrame  # (bucket int, weight double)
+    bias: float
+    n_buckets: int
+    loss_history: tuple[float, ...]
+
+
+def train_quality_classifier(
+    pos: DataFrame,
+    neg: DataFrame,
+    *,
+    text_col: str = "text",
+    n_buckets: int = 65_536,
+    n_iters: int = 20,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+) -> QualityClassifier:
+    """Train the LLM-pipeline "quality classifier" (the
+    fastText-style linear model of the GPT-3 / LLaMA data recipes:
+    positives = a trusted corpus, negatives = raw crawl) by FULL-BATCH
+    gradient descent on hashed unigram+bigram features — batch GD
+    rather than SGD because a deterministic order-free gradient is
+    exactly one partial-aggregated DataFrame pass, where SGD's
+    sequential updates are driver-bound by definition.
+
+    Per iteration, on a features table built ONCE and persisted
+    (key, bucket, x — never text): broadcast-join the current weights,
+    per-document margin by partial-agg groupBy, residual p − y, then
+    the bucket gradient by a second partial-agg groupBy. Weights live
+    on the driver as a dense ``n_buckets`` vector (8 B × n_buckets —
+    half a MiB at the default; the explicit cap is the documented
+    driver bound) and ship back each iteration as a broadcast table.
+    Updates: ``w ← w − lr·(∇/n + l2·w)``, bias unregularized.
+    Documents with no features are excluded from training (they carry
+    no signal for a linear model); :func:`quality_scores` still scores
+    them (at sigmoid(bias)).
+    """
+    import numpy as np
+
+    if n_buckets <= 0 or n_iters <= 0:
+        raise ValueError("n_buckets and n_iters must be positive")
+    if lr <= 0 or l2 < 0:
+        raise ValueError("lr must be positive, l2 non-negative")
+    spark = pos.sparkSession
+    labeled = (
+        pos.select(F.monotonically_increasing_id().alias("_rid"),
+                   F.col(text_col)).withColumn("y", F.lit(1.0))
+        .unionByName(
+            neg.select((F.monotonically_increasing_id()
+                        + F.lit(1 << 62)).alias("_rid"),
+                       F.col(text_col)).withColumn("y", F.lit(0.0)))
+    )
+    # materialize (rid, y, buckets) ONCE: _rid is partition-dependent,
+    # so feats and labels must branch from a single evaluation — and
+    # checkpointing AFTER the feature hash keeps text out of storage
+    base = labeled.select(
+        "_rid", "y",
+        _gram_buckets(F.col(text_col), n_buckets).alias("_bs"),
+    ).where(F.size("_bs") > 0).localCheckpoint(eager=True)
+    feats = (
+        base.select("_rid", F.size("_bs").alias("_n"),
+                    F.explode("_bs").alias("bucket"))
+        .groupBy("_rid", "bucket", "_n")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select("_rid", "bucket",
+                (F.col("_c").cast("double") / F.col("_n")).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    labels = base.select("_rid", "y")
+    n_docs = labels.count()
+    if n_docs == 0:
+        raise ValueError("no trainable documents (all inputs empty?)")
+
+    w = np.zeros(n_buckets, dtype=np.float64)
+    bias = 0.0
+    history: list[float] = []
+    for _ in range(n_iters):
+        nz = np.nonzero(w)[0]
+        wdf = spark.createDataFrame(
+            [(int(i), float(w[i])) for i in nz] or [(0, 0.0)],
+            "bucket int, weight double",
+        )
+        margins = (
+            feats.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("_rid")
+            .agg(F.sum(F.col("x") * F.coalesce(F.col("weight"),
+                                               F.lit(0.0))).alias("m"))
+            .join(labels, "_rid")
+            .select(
+                "_rid", "y",
+                (F.lit(1.0) / (F.lit(1.0)
+                               + F.exp(-(F.col("m") + F.lit(bias))))
+                 ).alias("p"),
+            )
+            .withColumn("resid", F.col("p") - F.col("y"))
+        )
+        # one pass computes the loss scalar, the bias gradient, and
+        # feeds the bucket gradient; margins is tiny (one row per doc)
+        margins = margins.localCheckpoint(eager=True)
+        agg = margins.agg(
+            F.avg(-(F.col("y") * F.log(F.greatest(F.col("p"),
+                                                  F.lit(1e-12)))
+                    + (F.lit(1.0) - F.col("y"))
+                    * F.log(F.greatest(F.lit(1.0) - F.col("p"),
+                                       F.lit(1e-12))))).alias("loss"),
+            F.avg("resid").alias("gb"),
+        ).head()
+        grad_rows = (
+            feats.join(margins.select("_rid", "resid"), "_rid")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("x") * F.col("resid")).alias("g"))
+            .collect()  # ≤ n_buckets skinny rows — the documented bound
+        )
+        grad = np.zeros(n_buckets, dtype=np.float64)
+        for r in grad_rows:
+            grad[r["bucket"]] = r["g"]
+        w -= lr * (grad / n_docs + l2 * w)
+        bias -= lr * float(agg["gb"])
+        history.append(float(agg["loss"]))
+
+    nz = np.nonzero(w)[0]
+    table = spark.createDataFrame(
+        [(int(i), float(w[i])) for i in nz] or [(0, 0.0)],
+        "bucket int, weight double",
+    )
+    return QualityClassifier(table=table, bias=bias, n_buckets=n_buckets,
+                             loss_history=tuple(history))
+
+
+def quality_scores(
+    df: DataFrame,
+    model: QualityClassifier,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under a trained classifier: (key_col,
+    quality double — sigmoid of the linear score, rounded to 6
+    decimals, higher = more positive-like; n_feats long). Same plan
+    shape as :func:`perplexity_scores`: explode → broadcast weight
+    join → one skinny per-document exchange; a document with no
+    features scores sigmoid(bias) with ``n_feats`` 0."""
+    b = (
+        df.select(F.col(key_col),
+                  _gram_buckets(F.col(text_col),
+                                model.n_buckets).alias("_bs"))
+        .select(key_col, F.size("_bs").alias("_n"),
+                F.explode_outer("_bs").alias("bucket"))
+    )
+    # _n = 0 only on the explode_outer NULL row of a featureless doc;
+    # the when-guard keeps the division ANSI-safe there
+    margin = F.coalesce(
+        F.sum(F.when(F.col("_n") > 0,
+                     F.col("weight") / F.col("_n"))), F.lit(0.0)
+    ) + F.lit(model.bias)
+    return (
+        b.join(F.broadcast(model.table), "bucket", "left")
+        .groupBy(key_col)
+        .agg(
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)),
+                    6).alias("quality"),
+            F.count("bucket").alias("n_feats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE tokenizer: distributed word-count train, driver merge loop,
 # Arrow-batched encode
 

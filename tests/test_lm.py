@@ -346,3 +346,104 @@ def test_bpe_encode_plan_is_narrow(spark):
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# quality classifier
+
+
+def test_quality_classifier_matches_numpy_gd_oracle(spark):
+    """Trust only the bucket-hash expression; replicate full-batch GD
+    (normalized counts, sigmoid, mean gradient + l2, unregularized
+    bias) in numpy and compare weights, bias, and loss history."""
+    import numpy as np
+
+    from sparkocr.lm import _gram_buckets, train_quality_classifier
+
+    pos_rows = [(0, "good clean prose here"), (1, "more good clean text")]
+    neg_rows = [(0, "spam junk click bait"), (1, "junk spam click spam")]
+    nb, iters, lr, l2 = 64, 6, 2.0, 1e-3
+    pos = _docs(spark, pos_rows)
+    neg = _docs(spark, neg_rows)
+    m = train_quality_classifier(pos, neg, n_buckets=nb, n_iters=iters,
+                                 lr=lr, l2=l2)
+
+    bs = [r["b"] for r in pos.select(
+        _gram_buckets(F.col("text"), nb).alias("b")).collect()]
+    bs += [r["b"] for r in neg.select(
+        _gram_buckets(F.col("text"), nb).alias("b")).collect()]
+    ys = [1.0, 1.0, 0.0, 0.0]
+    X = np.zeros((4, nb))
+    for i, blist in enumerate(bs):
+        for b in blist:
+            X[i, b] += 1.0 / len(blist)
+    y = np.array(ys)
+    w, bias, losses = np.zeros(nb), 0.0, []
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + bias)))
+        losses.append(float(np.mean(
+            -(y * np.log(np.maximum(p, 1e-12))
+              + (1 - y) * np.log(np.maximum(1 - p, 1e-12))))))
+        resid = p - y
+        w -= lr * (X.T @ resid / len(y) + l2 * w)
+        bias -= lr * float(np.mean(resid))
+
+    assert m.bias == pytest.approx(bias, abs=1e-9)
+    assert list(m.loss_history) == pytest.approx(losses, abs=1e-9)
+    got_w = {r["bucket"]: r["weight"] for r in m.table.collect()}
+    for b in np.nonzero(w)[0]:
+        assert got_w.get(int(b), 0.0) == pytest.approx(w[b], abs=1e-9)
+    for b, v in got_w.items():
+        assert v == pytest.approx(w[b], abs=1e-9)
+
+
+def test_quality_classifier_separates_and_scores_edge_cases(spark):
+    from sparkocr.lm import quality_scores, train_quality_classifier
+
+    pos = _docs(spark, [(i, "informative article about science history")
+                        for i in range(6)])
+    neg = _docs(spark, [(i, "buy cheap pills click casino spam")
+                        for i in range(6)])
+    m = train_quality_classifier(pos, neg, n_buckets=512, n_iters=15,
+                                 lr=5.0)
+    assert m.loss_history[-1] < m.loss_history[0]
+    test = _docs(spark, [(0, "article about science"),
+                         (1, "cheap pills casino"),
+                         (2, ""), (3, None)])
+    got = {r["doc_id"]: (r["quality"], r["n_feats"])
+           for r in quality_scores(test, m).collect()}
+    assert got[0][0] > got[1][0]  # positive-like outscores negative-like
+    # featureless docs score exactly sigmoid(bias)
+    want_empty = round(1.0 / (1.0 + math.exp(-m.bias)), 6)
+    assert got[2] == (want_empty, 0)
+    assert got[3] == (want_empty, 0)
+
+
+def test_quality_classifier_validation(spark):
+    from sparkocr.lm import train_quality_classifier
+
+    d = _docs(spark, [(0, "a b")])
+    empty = _docs(spark, []).where("doc_id < 0")
+    with pytest.raises(ValueError):
+        train_quality_classifier(d, d, n_iters=0)
+    with pytest.raises(ValueError):
+        train_quality_classifier(d, d, lr=0.0)
+    with pytest.raises(ValueError):
+        train_quality_classifier(empty, empty)
+
+
+def test_quality_scores_plan_shape(spark):
+    """Scoring is broadcast-join + one skinny exchange, text never
+    shuffles — same contract as perplexity_scores."""
+    from sparkocr.lm import QualityClassifier, quality_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    m = QualityClassifier(
+        table=spark.createDataFrame([(0, 0.5)], "bucket int, weight double"),
+        bias=0.1, n_buckets=64, loss_history=(0.7,))
+    plan = quality_scores(docs, m)._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    for frag in plan.split("Exchange")[1:]:
+        assert "text#" not in frag.split("\n")[0]
