@@ -3,8 +3,9 @@ pretraining data team actually runs, wiring this package's individually
 oracled operators in the published order (RefinedWeb/Dolma shape):
 
     boilerplate strip → exact-substring dedup → paragraph dedup →
-    quality gate → whole-document exact dedup → benchmark
-    decontamination → mixture sampling → sequence packing
+    quality gate → (optional) perplexity gate → whole-document exact
+    dedup → benchmark decontamination → mixture sampling → sequence
+    packing
 
 Every stage is an operator with its own oracle-gated tests; this module
 owns only the composition, the stage-boundary materialization policy,
@@ -28,6 +29,7 @@ from sparkocr.analysis import (
     strip_boilerplate_lines,
     with_quality,
 )
+from sparkocr.lm import UnigramLM, perplexity_scores, train_unigram_lm
 
 
 def build_training_corpus(
@@ -43,6 +45,8 @@ def build_training_corpus(
     substr_min_len: int = 50,
     ngram_n: int = 13,
     pack_shards: int = 1,
+    max_ppl: float | None = None,
+    ppl_lm: "UnigramLM | None" = None,
 ) -> dict[str, DataFrame]:
     """Run the full corpus build over ``docs`` (columns ``doc_id``,
     ``source``, ``text``) and return the named stage outputs:
@@ -107,6 +111,20 @@ def build_training_corpus(
         # fans out below: keeper join, contamination scan, final output
         .localCheckpoint(eager=True)
     )
+
+    # 4b. optional CCNet-style perplexity gate. Default LM: trained on
+    # the gated corpus itself (self-perplexity flags the outliers); a
+    # caller with a clean reference corpus passes its LM as ppl_lm.
+    # Empty docs (ppl NULL) cannot pass — but the quality gate already
+    # removed them.
+    if max_ppl is not None:
+        lm = ppl_lm if ppl_lm is not None else train_unigram_lm(gated)
+        keep = (
+            perplexity_scores(gated, lm)
+            .where(F.col("ppl") <= F.lit(float(max_ppl)))
+            .select("doc_id")
+        )
+        gated = gated.join(keep, "doc_id", "left_semi")
 
     # 5. whole-document exact dedup (md5 digest shuffle, keeper wins)
     keepers = exact_dedup_groups(gated, "doc_id").select(

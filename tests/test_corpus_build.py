@@ -147,3 +147,36 @@ def test_pipeline_plan_has_one_python_stage(spark):
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_perplexity_gate_drops_the_outlier(spark):
+    """With max_ppl set, a gibberish doc that passes the heuristic
+    quality gate (enough tokens, plausible stop ratio) is dropped by
+    self-perplexity; ordinary docs survive. Threshold picked from the
+    ungated build's own score distribution, so the test tracks the
+    corpus rather than hardcoding a ppl value."""
+    from sparkocr.lm import perplexity_scores, train_unigram_lm
+
+    base = ("the quick brown fox jumps over the lazy dog and runs to "
+            "the old mill by the river where it rests for a while")
+    rows = [(i, "web", f"{base} variant {i}") for i in range(10)]
+    rows.append((99, "web",
+                 "the zxq vprt qqzz of wkxj the blorp gnarf the "
+                 "xyzzy plugh of zzyzx wibble"))
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, source string, text string")
+    kw = dict(min_quality_tokens=10, stop_ratio_band=(0.05, 0.6),
+              boiler_min_df=50, substr_min_len=1000, ngram_n=5)
+    ungated = build_training_corpus(docs, **kw)["documents"]
+    ids = {r["doc_id"] for r in ungated.select("doc_id").collect()}
+    assert 99 in ids  # the heuristic gate alone does NOT catch it
+    lm = train_unigram_lm(ungated)
+    ppl = {r["doc_id"]: r["ppl"]
+           for r in perplexity_scores(ungated, lm).collect()}
+    others = max(v for k, v in ppl.items() if k != 99)
+    assert ppl[99] > others  # gibberish is the perplexity outlier
+    cut = (ppl[99] + others) / 2
+    gated = build_training_corpus(docs, max_ppl=cut, **kw)["documents"]
+    got = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    assert 99 not in got
+    assert got == ids - {99}
