@@ -625,6 +625,63 @@ def train_bpe(
     return spark.createDataFrame(merges, "rank int, left string, right string")
 
 
+def bpe_vocab(df: DataFrame, merges: DataFrame,
+              text_col: str = "text") -> DataFrame:
+    """The (id int, token string) vocabulary a merge table induces over
+    a corpus: base symbols first (every distinct character of the
+    corpus's words plus the ``</w>`` marker, id'd in sorted order),
+    then one token per merge in rank order — the standard BPE vocab
+    construction, deterministic end to end. A merge product that
+    collides with an earlier token (possible when two different pairs
+    concatenate to the same string) keeps its first id.
+
+    This is the analog of the reference's rec-stage keys dictionary
+    (rec.rs:55-59: one token per line, id = line number);
+    :func:`vocab_to_keys_bytes` serializes to exactly that format so
+    the artifact round-trips through ``sparkocr.keys``."""
+    spark = df.sparkSession
+    chars = (
+        word_frequencies(df, text_col)
+        .select(F.explode(F.split("word", "")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    base = chars.unionByName(
+        spark.createDataFrame([(_END,)], "token string")).distinct()
+    n_base = base.count()  # scalar: offsets the merge-product ids
+    w = Window.orderBy("token")
+    base_ids = base.select(
+        (F.row_number().over(w) - 1).alias("id"), "token")
+    merged = merges.select(
+        (F.col("rank") + F.lit(n_base)).alias("id"),
+        F.concat("left", "right").alias("token"),
+    )
+    return (
+        base_ids.unionByName(merged)
+        .groupBy("token")
+        .agg(F.min("id").alias("id"))
+        .select("id", "token")
+    )
+
+
+def vocab_to_keys_bytes(vocab: DataFrame) -> bytes:
+    """Serialize a :func:`bpe_vocab` table to the reference's keys-file
+    format — one token per line, line number = id (rec.rs:55-59) — so
+    a Spark-trained tokenizer loads through
+    :func:`sparkocr.keys.load_keys_bytes` like any shipped dictionary.
+    Collects the vocab (bounded: base chars + num_merges rows). Ids
+    must be dense from 0 — guaranteed by ``bpe_vocab`` unless merge
+    products collided, in which case the gap is rejected here rather
+    than silently misnumbering every later line."""
+    rows = sorted((r["id"], r["token"]) for r in vocab.collect())
+    for i, (vid, _) in enumerate(rows):
+        if vid != i:
+            raise ValueError(
+                f"vocab ids are not dense at {vid} (expected {i}) — "
+                "renumber before export")
+    return ("\n".join(t for _, t in rows) + "\n").encode("utf-8")
+
+
 def bpe_encode(
     df: DataFrame,
     merges: DataFrame,
@@ -644,16 +701,47 @@ def bpe_encode(
     exists only INSIDE the Arrow batch, the same budget the extraction
     engine's mapInPandas already spends.
     """
-    from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType
 
     ranks = {
         (r["left"], r["right"]): int(r["rank"])
         for r in merges.collect()  # bounded by num_merges
     }
+    enc = _bpe_udf(ranks, None, ArrayType(StringType()))
+    return df.withColumn(out_col, enc(F.col(text_col)))
 
-    def encode_word(word: str,
-                    cache: dict[str, list[str]]) -> list[str]:
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_ids",
+) -> DataFrame:
+    """:func:`bpe_encode` with the id mapping fused in: adds
+    ``out_col`` = ``array<int>`` under the :func:`bpe_vocab` table —
+    the form a training pipeline actually materializes. A token absent
+    from the vocab (a character never seen at train time) maps to −1,
+    kept in place so offsets still align with the token stream. Same
+    narrow single-UDF plan as ``bpe_encode`` — the lookup happens
+    inside the batch, not as a join."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    ranks = {
+        (r["left"], r["right"]): int(r["rank"])
+        for r in merges.collect()
+    }
+    ids = {r["token"]: int(r["id"]) for r in vocab.collect()}
+    enc = _bpe_udf(ranks, ids, ArrayType(IntegerType()))
+    return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def _bpe_udf(ranks: dict, ids: dict | None, out_type):
+    """The shared encode kernel: rank-greedy merge per word, per-batch
+    word cache; with ``ids``, tokens map to vocab ids (−1 = unknown)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def encode_word(word: str, cache: dict) -> list:
         hit = cache.get(word)
         if hit is not None:
             return hit
@@ -668,10 +756,12 @@ def bpe_encode(
                 break
             _, i = min(ranked)
             sym[i:i + 2] = [sym[i] + sym[i + 1]]
+        if ids is not None:
+            sym = [ids.get(s, -1) for s in sym]
         cache[word] = sym
         return sym
 
-    @pandas_udf(ArrayType(StringType()))
+    @pandas_udf(out_type)
     def enc(texts):  # type: ignore[no-untyped-def]
         import re
 
@@ -681,17 +771,17 @@ def bpe_encode(
         # str.split() would also break on unicode spaces (NEL, NBSP)
         # that the Spark-side trainer does not, skewing encode vs train
         ws = re.compile("[ \t\n\r\f\x0b]+")
-        cache: dict[str, list[str]] = {}
+        cache: dict = {}
         out = []
         for t in texts:
             if t is None:
                 out.append(None)
                 continue
-            toks: list[str] = []
+            toks: list = []
             for w in ws.split(t.lower()):
                 if w:
                     toks.extend(encode_word(w, cache))
             out.append(toks)
         return pd.Series(out)
 
-    return df.withColumn(out_col, enc(F.col(text_col)))
+    return enc

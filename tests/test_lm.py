@@ -447,3 +447,62 @@ def test_quality_scores_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     for frag in plan.split("Exchange")[1:]:
         assert "text#" not in frag.split("\n")[0]
+
+
+# ---------------------------------------------------------------------------
+# BPE vocab / keys-format bridge
+
+
+def test_bpe_vocab_ids_and_keys_roundtrip(spark):
+    from sparkocr.keys import load_keys_bytes
+    from sparkocr.lm import bpe_encode_ids, bpe_vocab, vocab_to_keys_bytes
+
+    df = _docs(spark, CORPUS)
+    merges = train_bpe(df, num_merges=20, min_freq=1, max_words=1000)
+    vocab = bpe_vocab(df, merges)
+    rows = sorted((r["id"], r["token"]) for r in vocab.collect())
+    ids = [i for i, _ in rows]
+    toks = [t for _, t in rows]
+    # dense ids; base symbols (sorted, incl </w>) before merge products
+    assert ids == list(range(len(ids)))
+    base_chars = sorted(set("".join(
+        t for _, txt in CORPUS for t in _pytokens(txt))) | {"</w>"})
+    assert toks[:len(base_chars)] == base_chars
+    n_merges = merges.count()
+    assert len(toks) == len(base_chars) + n_merges
+    got_merge_toks = toks[len(base_chars):]
+    want = [r["left"] + r["right"]
+            for r in merges.orderBy("rank").collect()]
+    assert got_merge_toks == want
+    # vocab determinism across runs
+    again = sorted((r["id"], r["token"])
+                   for r in bpe_vocab(df, merges).collect())
+    assert again == rows
+    # keys-format round-trip through the package's own loader: the
+    # byte format preserves id order line-by-line; load_keys_bytes
+    # canonicalizes to a sorted set (its EngineConfig contract), so
+    # compare the line order raw and the vocabulary via the loader
+    data = vocab_to_keys_bytes(vocab)
+    assert data.decode("utf-8").rstrip("\n").split("\n") == toks
+    assert list(load_keys_bytes(data)) == sorted(set(toks))
+
+    # encode_ids == encode mapped through the vocab; unknown char → -1
+    id_of = dict(zip(toks, ids))
+    test = _docs(spark, [(0, "the quick fox"), (1, "ß unknown-char")])
+    tok_out = {r["doc_id"]: r["bpe_tokens"]
+               for r in __import__("sparkocr.lm", fromlist=["bpe_encode"]
+                                   ).bpe_encode(test, merges).collect()}
+    id_out = {r["doc_id"]: r["bpe_ids"]
+              for r in bpe_encode_ids(test, merges, vocab).collect()}
+    for d in (0, 1):
+        assert id_out[d] == [id_of.get(t, -1) for t in tok_out[d]]
+    assert -1 in id_out[1]  # ß never appeared in training
+
+
+def test_vocab_to_keys_bytes_rejects_gaps(spark):
+    from sparkocr.lm import vocab_to_keys_bytes
+
+    bad = spark.createDataFrame([(0, "a"), (2, "b")],
+                                "id int, token string")
+    with pytest.raises(ValueError):
+        vocab_to_keys_bytes(bad)
