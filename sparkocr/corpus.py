@@ -73,6 +73,10 @@ def build_training_corpus(
     mixture draw or the packer."""
     if mixture_weights is not None and total_tokens is None:
         raise ValueError("total_tokens is required with mixture_weights")
+    if ppl_lm is not None and max_ppl is None:
+        raise ValueError(
+            "ppl_lm given without max_ppl — the perplexity gate needs a "
+            "threshold; pass max_ppl to enable it")
     missing = {"doc_id", "source", "text"} - set(docs.columns)
     if missing:
         raise ValueError(f"docs is missing columns: {sorted(missing)}")
@@ -124,7 +128,12 @@ def build_training_corpus(
             .where(F.col("ppl") <= F.lit(float(max_ppl)))
             .select("doc_id")
         )
-        gated = gated.join(keep, "doc_id", "left_semi")
+        # the gated-after-gate table fans out exactly like `gated`
+        # above (keeper grouping, semi join, contamination scan): without
+        # this boundary the scoring join — and, for the default self-LM,
+        # the LM's own token aggregation — would re-execute per consumer
+        gated = gated.join(keep, "doc_id",
+                           "left_semi").localCheckpoint(eager=True)
 
     # 5. whole-document exact dedup (md5 digest shuffle, keeper wins)
     keepers = exact_dedup_groups(gated, "doc_id").select(

@@ -117,16 +117,16 @@ def train_unigram_lm(
         F.count(F.lit(1)).alias("v"),
     ).head()
     n_total = int(tot["n"])
-    w = Window.orderBy(F.col("c").desc(), F.col("token"))
     kept = counts
     if int(tot["v"]) > vocab_size:
-        # rank-and-cut is a one-off global sort of the (token, count)
-        # table — model training, not a per-query cost
-        kept = (
-            counts.withColumn("r", F.row_number().over(w))
-            .where(F.col("r") <= vocab_size)
-            .drop("r")
-        )
+        # deterministic top-V cap as orderBy().limit() — a TakeOrdered:
+        # per-partition heads, only vocab_size rows ever move. An
+        # unpartitioned row_number() window would funnel every
+        # (token, count) row through one task — a straggler/OOM at the
+        # module's documented 100 TB shape (same device as train_bpe's
+        # max_words cap).
+        kept = counts.orderBy(
+            F.col("c").desc(), F.col("token")).limit(vocab_size)
     n_types = min(int(tot["v"]), vocab_size)
     denom = n_total + alpha * (n_types + 1)
     table = kept.select(
@@ -227,23 +227,26 @@ def _gram_buckets(col: F.Column, n_buckets: int) -> F.Column:
 
 
 def _bucket_logprobs(df: DataFrame, text_col: str, n_buckets: int,
-                     alpha: float) -> DataFrame:
-    """(bucket, logprob) under add-alpha smoothing with the FIXED
-    feature space of ``n_buckets`` buckets (hashing closes the
-    vocabulary, so the denominator needs no +1 OOV slot)."""
+                     alpha: float) -> tuple[DataFrame, float]:
+    """((bucket, logprob), total feature count) under add-alpha
+    smoothing with the FIXED feature space of ``n_buckets`` buckets
+    (hashing closes the vocabulary, so the denominator needs no +1 OOV
+    slot). The total is returned so callers derive the smoothing floor
+    without a second corpus-sized pass."""
     counts = (
         df.select(F.explode(_gram_buckets(F.col(text_col),
                                           n_buckets)).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n = counts.agg(F.coalesce(F.sum("c"), F.lit(0))).head()[0]
-    denom = float(n) + alpha * n_buckets
-    return counts.select(
+    n = float(counts.agg(F.coalesce(F.sum("c"), F.lit(0))).head()[0])
+    denom = n + alpha * n_buckets
+    table = counts.select(
         "bucket",
         F.log((F.col("c") + F.lit(float(alpha))) / F.lit(denom)
               ).alias("logprob"),
     )
+    return table, n
 
 
 def dsir_weights(
@@ -280,16 +283,10 @@ def dsir_weights(
     if alpha <= 0:
         raise ValueError("alpha must be positive")
     raw = raw if raw is not None else df
-    p_t = _bucket_logprobs(target, text_col, n_buckets, alpha)
-    p_r = _bucket_logprobs(raw, text_col, n_buckets, alpha)
-    # one scalar per side (total feature counts) for the smoothing
-    # floors of buckets missing from that side's table
-    n_t = float(
-        target.select(F.explode(_gram_buckets(F.col(text_col), n_buckets))
-                      ).count())
-    n_r = float(
-        raw.select(F.explode(_gram_buckets(F.col(text_col), n_buckets))
-                   ).count())
+    # each side's total feature count rides back with its LM table —
+    # the smoothing floors cost no extra corpus pass
+    p_t, n_t = _bucket_logprobs(target, text_col, n_buckets, alpha)
+    p_r, n_r = _bucket_logprobs(raw, text_col, n_buckets, alpha)
     floor_t = math.log(alpha / (n_t + alpha * n_buckets))
     floor_r = math.log(alpha / (n_r + alpha * n_buckets))
     ratio = (
@@ -463,7 +460,12 @@ def train_quality_classifier(
             .withColumn("resid", F.col("p") - F.col("y"))
         )
         # one pass computes the loss scalar, the bias gradient, and
-        # feeds the bucket gradient; margins is tiny (one row per doc)
+        # feeds the bucket gradient; margins is tiny (one row per doc).
+        # Rebinding `margins` next iteration drops the only reference
+        # to this checkpoint, so the ContextCleaner reclaims its blocks
+        # as the loop advances (the package's localCheckpoint lifecycle
+        # convention — see analysis.py's CC loop); storage high-water
+        # is one margins snapshot plus base/feats, not n_iters of them.
         margins = margins.localCheckpoint(eager=True)
         agg = margins.agg(
             F.avg(-(F.col("y") * F.log(F.greatest(F.col("p"),
@@ -607,22 +609,59 @@ def train_bpe(
     vocab: dict[tuple[str, ...], int] = {
         tuple(r["word"]) + (_END,): int(r["freq"]) for r in rows
     }
+    merges = _learn_merges(vocab, num_merges)
+    spark = df.sparkSession
+    return spark.createDataFrame(merges, "rank int, left string, right string")
+
+
+def _learn_merges(vocab: dict, num_merges: int
+                  ) -> list[tuple[int, str, str]]:
+    """The driver-side merge loop. Incremental Sennrich trainer: pair
+    counts and a pair→words index are built once, then each merge
+    touches only the words containing the merged pair — O(affected
+    symbols) per step, not a full recount of every word (which at
+    num_merges × max_words scale is minutes of driver time for
+    identical output). Consumes ``vocab`` (mutated in place).
+    Property-tested against the brute-force recount in
+    tests/test_lm.py."""
+    pairs: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set] = {}
+    for sym, freq in vocab.items():
+        for p in zip(sym, sym[1:]):
+            pairs[p] = pairs.get(p, 0) + freq
+            where.setdefault(p, set()).add(sym)
     merges: list[tuple[int, str, str]] = []
     for rank in range(num_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for sym, freq in vocab.items():
-            for a, b in zip(sym, sym[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + freq
         if not pairs:
             break
+        # min over the full dict with a total (count desc, pair asc)
+        # key — deterministic regardless of dict order
         best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
         if best[1] < 2:
             break  # nothing repeats: further merges are noise
         pair = best[0]
         merges.append((rank, pair[0], pair[1]))
-        vocab = {_merge_word(s, pair): f for s, f in vocab.items()}
-    spark = df.sparkSession
-    return spark.createDataFrame(merges, "rank int, left string, right string")
+        for sym in where.pop(pair, ()):  # only words containing pair
+            freq = vocab.pop(sym, None)
+            if freq is None:
+                continue  # already rewritten via a merge collision
+            for p in zip(sym, sym[1:]):
+                c = pairs[p] - freq
+                if c > 0:
+                    pairs[p] = c
+                else:
+                    del pairs[p]
+                ws = where.get(p)
+                if ws is not None:
+                    ws.discard(sym)
+                    if not ws:
+                        where.pop(p, None)
+            new = _merge_word(sym, pair)
+            vocab[new] = vocab.get(new, 0) + freq
+            for p in zip(new, new[1:]):
+                pairs[p] = pairs.get(p, 0) + freq
+                where.setdefault(p, set()).add(new)
+    return merges
 
 
 def bpe_vocab(df: DataFrame, merges: DataFrame,

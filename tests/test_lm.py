@@ -506,3 +506,60 @@ def test_vocab_to_keys_bytes_rejects_gaps(spark):
                                 "id int, token string")
     with pytest.raises(ValueError):
         vocab_to_keys_bytes(bad)
+
+
+def test_incremental_merge_loop_matches_brute_force_recount():
+    """_learn_merges (incremental pair counts + pair→word index) must
+    produce bit-identical merge sequences to the brute-force
+    recount-everything formulation, across randomized word-frequency
+    tables — including merge-collision cases (two words rewriting to
+    the same symbol tuple)."""
+    import random
+
+    from sparkocr.lm import _END, _learn_merges, _merge_word
+
+    def brute(vocab, num_merges):
+        merges = []
+        for rank in range(num_merges):
+            pairs = {}
+            for sym, freq in vocab.items():
+                for a, b in zip(sym, sym[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + freq
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < 2:
+                break
+            pair = best[0]
+            merges.append((rank, pair[0], pair[1]))
+            nxt = {}
+            for s, f in vocab.items():
+                m = _merge_word(s, pair)
+                nxt[m] = nxt.get(m, 0) + f  # collisions accumulate
+            vocab = nxt
+        return merges
+
+    rng = random.Random(20260817)
+    alphabet = "abcdx"
+    for trial in range(25):
+        n_words = rng.randint(1, 40)
+        vocab = {}
+        for _ in range(n_words):
+            w = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 8)))
+            key = tuple(w) + (_END,)
+            vocab[key] = vocab.get(key, 0) + rng.randint(1, 9)
+        num_merges = rng.randint(1, 30)
+        assert _learn_merges(dict(vocab), num_merges) == \
+            brute(dict(vocab), num_merges), f"trial {trial}"
+
+
+def test_build_corpus_rejects_lm_without_threshold(spark):
+    from sparkocr.corpus import build_training_corpus
+
+    docs = spark.createDataFrame(
+        [(0, "web", "some text here")],
+        "doc_id long, source string, text string")
+    lm = train_unigram_lm(docs)
+    with pytest.raises(ValueError, match="max_ppl"):
+        build_training_corpus(docs, ppl_lm=lm)
