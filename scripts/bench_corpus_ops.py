@@ -10,7 +10,18 @@ and change the semantics — so this probe scales task slots inside one
 session instead, with the process CPU-pinned so local[N] really has N
 CPUs rather than N task slots on a 32-CPU box.)
 
-Usage: python scripts/bench_corpus_ops.py [--replicas 40] [--n 8]
+The job is IDENTICAL at both sizes — same shuffle-partition count, same
+packer shard count, same corpus layout, all sized for the LARGE config
+(exactly how a production job is provisioned once and then run on
+whatever cluster is available). An earlier probe variant derived those
+knobs from the core count; that measures two different jobs, and at
+this corpus size the extra partitions' fixed per-task cost made the
+large config read *slower* — a probe artifact, not a property of the
+operators. N defaults to 2 (so 4N = 8): both configs stay far below the
+box's ~30k turns/sec shared-memory-bus ceiling documented in
+BENCH/SCALING_NOTES.md, which a 32-core config slams into.
+
+Usage: python scripts/bench_corpus_ops.py [--replicas 40] [--n 2]
 
 The corpus is the sf0.1 documents table replicated --replicas times;
 each replica appends a replica-unique token so replication itself does
@@ -37,7 +48,7 @@ SF_DIR = "/root/testdata/sf0.1"
 # child mode: pin to the first N CPUs, run the operator suite once
 
 
-def _child(cores: int, replicas: int) -> None:
+def _child(cores: int, replicas: int, big_cores: int) -> None:
     # pin BEFORE the JVM spawns: pyspark's java child inherits the
     # affinity mask, so local[N] gets N real CPUs, not N slots on 32
     os.sched_setaffinity(0, set(range(cores)))
@@ -48,10 +59,13 @@ def _child(cores: int, replicas: int) -> None:
     from sparkocr.analysis import (dedup_paragraphs, dedup_substrings,
                                    mix_corpus, pack_sequences)
 
+    # every layout knob derives from the LARGE config so the two runs
+    # execute the same physical job; only the resource count differs
+    n_parts = 4 * big_cores
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"corpus-ops-scaling-{cores}")
-        .config("spark.sql.shuffle.partitions", str(2 * cores))
+        .config("spark.sql.shuffle.partitions", str(n_parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
@@ -70,7 +84,7 @@ def _child(cores: int, replicas: int) -> None:
                 F.concat_ws(" ", "text",
                             F.concat(F.lit("rep"), F.col("rep"))).alias("text"),
             )
-            .repartition(4 * cores)
+            .repartition(n_parts)
             .localCheckpoint(eager=True)
         )
         n_docs = corpus.count()
@@ -90,11 +104,17 @@ def _child(cores: int, replicas: int) -> None:
         toks = corpus.select(
             "doc_id", "source",
             F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+        # token budget scales with the corpus (≈ a quarter of it) so the
+        # mixture draw + packer do work proportional to input — a fixed
+        # small budget selects a constant ~10k docs at any corpus size
+        # and the phase degenerates to pure per-job fixed cost
         chosen = mix_corpus(toks, {"web": 0.6, "books": 0.3, "code": 0.1},
-                            2_000_000)
-        # shard count follows the cluster size — at a fixed 4 shards the
-        # packer tops out at (sources x 4) tasks and CANNOT scale
-        pack_sequences(chosen, max_tokens=4096, n_shards=2 * cores) \
+                            2_000_000 * max(1, replicas // 40))
+        # shard count sized for the LARGE cluster and held fixed — the
+        # small config just runs more shards per slot, exactly like a
+        # provisioned job on a half-size cluster (at a fixed 4 shards
+        # the packer tops out at sources×4 tasks and could not scale)
+        pack_sequences(chosen, max_tokens=4096, n_shards=2 * big_cores) \
             .write.format("noop").mode("overwrite").save()
         out["mix_pack_sec"] = round(time.time() - t, 2)
 
@@ -106,10 +126,11 @@ def _child(cores: int, replicas: int) -> None:
         spark.stop()
 
 
-def _run(cores: int, replicas: int) -> dict:
+def _run(cores: int, replicas: int, big_cores: int) -> dict:
     p = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--_child",
-         str(cores), "--replicas", str(replicas)],
+         str(cores), "--replicas", str(replicas),
+         "--_big", str(big_cores)],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         timeout=1800, check=True)
     line = next(l for l in p.stdout.splitlines() if l.startswith("RESULT "))
@@ -119,12 +140,13 @@ def _run(cores: int, replicas: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=40)
-    ap.add_argument("--n", type=int, default=8,
+    ap.add_argument("--n", type=int, default=2,
                     help="small cluster size; the large one is 4n")
     ap.add_argument("--_child", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--_big", type=int, default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
     if args._child is not None:
-        _child(args._child, args.replicas)
+        _child(args._child, args.replicas, args._big or 4 * args._child)
         return
 
     # interleave N / 4N passes (best of 2 each) so one machine-load
@@ -132,7 +154,7 @@ def main() -> None:
     results: dict[int, list[dict]] = {args.n: [], 4 * args.n: []}
     for _ in range(2):
         for cores in (args.n, 4 * args.n):
-            r = _run(cores, args.replicas)
+            r = _run(cores, args.replicas, 4 * args.n)
             print(f"# local[{cores}]: {r}", file=sys.stderr, flush=True)
             results[cores].append(r)
     best = {c: min(rs, key=lambda r: r["total_sec"])

@@ -362,27 +362,95 @@ def dedup_paragraphs(
                             "para", sep, "n_paras_kept")
 
 
+# Karp-Rabin multiplier: odd (invertible mod 2^64, and A^k stays odd so
+# no low-bit entropy drain); its inverse is computed once at import
+_KR_A = 0x9E3779B97F4A7C15
+_KR_AINV = pow(_KR_A, -1, 1 << 64)
+
+
+def _rolling_window_hashes(length: int):
+    """Arrow-batched kernel: token-xxhash64 array → array of Karp-Rabin
+    window hashes, one per stride-1 window of ``length`` tokens.
+
+        h_i = Σ_{j<L} t_{i+j} · A^{L-1-j}  (mod 2^64)
+
+    computed in O(n) per batch via renormalized prefix sums: with
+    Q_m = Σ_{k<m} t_k·A^{-k} over the batch-FLAT token stream,
+    h_i = (Q_{i+L} − Q_i) · A^{i+L-1} — the global position cancels, so
+    one cumsum over the whole Arrow batch serves every document and the
+    only per-row Python is an ndarray slice. Two equal windows hash
+    equal wherever they sit; differing windows collide with ~2⁻⁶⁴
+    probability over the already-uniform token hashes (like the direct
+    xxhash64 form this replaces — but NOT adversary-resistant: a crafted
+    corpus could engineer collisions, acceptable for dedup)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def roll(tok_hashes):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        arrs = [np.asarray(a, dtype=np.int64).view(np.uint64)
+                for a in tok_hashes]
+        lens = np.array([len(a) for a in arrs], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series([np.empty(0, dtype=np.int64)] * len(arrs))
+        flat = np.concatenate(arrs) if arrs else np.empty(0, np.uint64)
+        T = flat.shape[0]
+        with np.errstate(over="ignore"):
+            pow_ainv = np.empty(T, dtype=np.uint64)
+            pow_ainv[0] = 1
+            if T > 1:
+                np.cumprod(np.full(T - 1, _KR_AINV, dtype=np.uint64),
+                           out=pow_ainv[1:])
+            pow_a = np.empty(T, dtype=np.uint64)
+            pow_a[0] = 1
+            if T > 1:
+                np.cumprod(np.full(T - 1, _KR_A, dtype=np.uint64),
+                           out=pow_a[1:])
+            q = np.zeros(T + 1, dtype=np.uint64)
+            np.cumsum(flat * pow_ainv, out=q[1:])
+            # h over every flat position; per-doc validity sliced below
+            h_flat = ((q[length:] - q[:-length])
+                      * pow_a[length - 1:]).view(np.int64) \
+                if T >= length else np.empty(0, np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        out = [
+            h_flat[s:s + n - length + 1] if n >= length
+            else np.empty(0, dtype=np.int64)
+            for s, n in zip(starts, lens)
+        ]
+        return pd.Series(out)
+
+    return roll
+
+
 def _window_hashes(df: DataFrame, key_col: str, text_col: str,
                    length: int) -> DataFrame:
     """(doc, wpos, whash) for EVERY length-``length`` token window at
     stride 1 — the positional sibling of :func:`_shingle_posting`
     (which distinct-s and drops positions). Documents shorter than
-    ``length`` tokens have no windows. The concat-then-xxhash64 per
-    window is O(n·L) characters per doc; a Karp-Rabin rolling hash
-    would make it O(n) but needs a per-row scan loop — at the default
-    L this constant factor is cheaper than leaving codegen."""
+    ``length`` tokens have no windows.
+
+    Two stages: the JVM hashes each token ONCE (codegen xxhash64 —
+    O(n) string work), then the Arrow-batched Karp-Rabin kernel
+    (:func:`_rolling_window_hashes`) combines token hashes into window
+    hashes in O(n) — replacing the previous concat-then-xxhash64 per
+    window, whose O(n·L) character traffic was ~L× this cost and
+    dominated substring dedup end to end. Only (doc, hash-array) rows
+    cross the Arrow boundary, never text."""
     toks = F.split(F.col(text_col), " ")
+    roll = _rolling_window_hashes(length)
     return (
         spread_small_scan(df.where(F.size(toks) >= length))
         .select(
             F.col(key_col).alias("doc"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - length),
-                    lambda i: F.xxhash64(
-                        F.concat_ws(" ", F.slice(toks, i + 1, length))),
-                )
-            ).alias("wpos", "whash"),
+            F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"),
+        )
+        .select(
+            "doc",
+            F.posexplode(roll(F.col("_th"))).alias("wpos", "whash"),
         )
     )
 

@@ -153,16 +153,22 @@ def test_repetition_ratio_map_side_combine(spark, sf):
 
 
 def test_substr_dedup_plan_shape(spark, sf):
-    """ExactSubstr dedup: no cartesian/nested-loop path, no Python UDF,
-    and the whash rank is ONE window (the single-pass duplicate
-    detection), with document text absent from every Exchange."""
+    """ExactSubstr dedup: no cartesian/nested-loop path, no
+    row-at-a-time Python, exactly ONE Arrow-batched kernel (the
+    Karp-Rabin rolling window hash — fed token-hash arrays, never
+    text), and document text absent from every Exchange."""
     from sparkocr.analysis import dedup_substrings
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     plan = _plan(dedup_substrings(docs, "doc_id", min_len=8))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time: banned
+    assert plan.count("ArrowEvalPython") == 1  # the rolling-hash kernel
+    # the Arrow node's input is the token-hash array, not the text
+    arrow_line = next(l for l in plan.splitlines()
+                      if "ArrowEvalPython" in l)
+    assert "text" not in arrow_line, f"text into Arrow: {arrow_line}"
     # text flows only from scan to the final per-row array filter — it
     # must never be a shuffle output (window rows are (doc,wpos,whash))
     for frag in plan.split("Exchange")[1:]:
@@ -178,7 +184,10 @@ def test_ngram_contamination_broadcasts_probes(spark, sf):
         docs, ["alpha beta gamma delta epsilon zeta"], "doc_id", n=3))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time: banned
+    # two window-hash generates (corpus side + probe side), each one
+    # Arrow-batched rolling-hash kernel
+    assert plan.count("ArrowEvalPython") == 2
 
 
 def test_paragraph_dedup_and_mix_corpus_no_python_path(spark, sf):
