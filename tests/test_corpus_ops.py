@@ -569,3 +569,50 @@ def test_dedup_conversations_matches_reference_grouping(spark):
         for c2 in texts_of:
             assert (fp[c1] == fp[c2]) == (texts_of[c1] == texts_of[c2]), \
                 (c1, c2)
+
+
+def test_rolling_hash_kernel_math():
+    """The Karp-Rabin kernel's renormalized-prefix form must equal a
+    direct Horner evaluation of h_i = sum_j t_{i+j}*A^(L-1-j) mod 2^64,
+    and equal windows must hash equal wherever they sit — across
+    positions, documents, and Arrow-batch layouts."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from sparkocr.analysis import _KR_A, _rolling_window_hashes
+
+    rng = random.Random(42)
+    L = 5
+    kernel = _rolling_window_hashes(L).func  # unwrap the pandas_udf
+
+    def horner(toks):
+        out = []
+        for i in range(len(toks) - L + 1):
+            h = 0
+            for j in range(L):
+                h = (h * _KR_A + toks[i + j]) % (1 << 64)
+            # two's-complement to match the kernel's int64 view
+            out.append(h - (1 << 64) if h >= (1 << 63) else h)
+        return out
+
+    docs = [
+        [rng.getrandbits(63) for _ in range(rng.randint(0, 30))]
+        for _ in range(50)
+    ]
+    docs = [d for d in docs if len(d) >= L]
+    got = kernel(pd.Series([np.array(d, dtype=np.int64) for d in docs]))
+    for d, g in zip(docs, got):
+        assert list(g) == horner(d), "kernel != Horner evaluation"
+
+    # position independence: the same window content in two different
+    # docs, at different offsets, in different batch layouts
+    win = [rng.getrandbits(63) for _ in range(L)]
+    a = [rng.getrandbits(63) for _ in range(7)] + win
+    b = win + [rng.getrandbits(63) for _ in range(3)]
+    (ha,), (hb,) = (
+        kernel(pd.Series([np.array(x, dtype=np.int64)]))
+        for x in (a, b)
+    )
+    assert ha[len(a) - L] == hb[0]
