@@ -506,38 +506,45 @@ def dedup_substrings(
     flagged = (
         wins.withColumn("rn", F.row_number().over(w_hash))
         .where(F.col("rn") > 1)
-        .select("doc", F.col("wpos").alias("start"),
-                (F.col("wpos") + min_len).alias("end"))
+        .select("doc", F.col("wpos").alias("start"))
     )
-    # union overlapping/adjacent flagged windows into maximal spans
-    # (gaps-and-islands: a window starting past the running max end of
-    # everything before it opens a new span)
-    w_doc = Window.partitionBy("doc").orderBy("start", "end")
-    spans = (
-        flagged
-        .withColumn(
-            "max_end_before",
-            F.max("end").over(w_doc.rowsBetween(Window.unboundedPreceding,
-                                                -1)),
-        )
-        .withColumn(
-            "new_span",
-            F.when(F.col("start")
-                   > F.coalesce(F.col("max_end_before"), F.lit(-1)),
-                   F.lit(1)).otherwise(F.lit(0)),
-        )
-        .withColumn("span_id", F.sum("new_span").over(
-            w_doc.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("doc", "span_id")
-        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
-    )
+    # union overlapping/adjacent flagged windows into maximal spans.
+    # Because every interval has the same length L, "start past the
+    # running max end" degenerates to the PAIRWISE rule
+    # s_i − s_{i−1} > L on sorted starts — so the whole merge is one
+    # partial-aggregated groupBy packing each doc's starts into a
+    # sorted array (map-side combine on the whash-shuffle output) plus
+    # in-array expressions, instead of a doc-partitioned sort of every
+    # flagged row through two window passes and two aggregations.
+    # Per-doc array size is bounded by the doc's token count (a 1M-token
+    # doc worst-cases at ~8 MB — fine; the corpus never aggregates).
+    ss = F.col("_ss")
+    # when() keeps the element_at lookups off the boundary rows — ANSI
+    # mode makes out-of-range array indices errors, not NULLs
+    span_starts = F.filter(
+        ss, lambda s, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
+            s - F.element_at(ss, i) > min_len))
+    span_ends = F.filter(
+        F.transform(ss, lambda s: s + min_len),
+        lambda e, i: F.when(i == F.size(ss) - 1, F.lit(True)).otherwise(
+            F.element_at(ss, i + 2) - (e - min_len) > min_len))
+    spans_col = F.zip_with(
+        span_starts, span_ends,
+        lambda s, e: F.struct(s.alias("start"), e.alias("end")))
     # merged spans fold to ONE small row per affected doc; the removal
     # then happens on the text's original row via an index-aware array
     # filter — document text is never exploded and never grouped back
-    spans_per_doc = spans.groupBy("doc").agg(
-        F.collect_list(F.struct("start", "end")).alias("__spans__"),
-        F.sum(F.col("end") - F.col("start")).cast("long")
-        .alias("__n_removed__"),
+    spans_per_doc = (
+        flagged.groupBy("doc")
+        .agg(F.sort_array(F.collect_list("start")).alias("_ss"))
+        .select(
+            "doc",
+            spans_col.alias("__spans__"),
+            F.aggregate(
+                spans_col, F.lit(0).cast("long"),
+                lambda acc, s: acc + (s["end"] - s["start"]),
+            ).alias("__n_removed__"),
+        )
     )
     toks = F.split(F.col("__orig__"), " ")
     kept = F.filter(
