@@ -231,15 +231,15 @@ def strip_boilerplate_lines(
 
     Scale shape: the hot-line detection runs entirely on
     ``xxhash64(line)`` — the count shuffles (doc, 8-byte hash) rows and
-    the hot list is a tiny broadcast anti-join probe, so LINE TEXT never
-    shuffles and is never copied into executor storage; the string rides
-    the narrow scan→explode→anti-join path straight into the one
-    unavoidable reassembly shuffle. What IS materialized is only the
-    (doc, hash, len) table (~20 bytes/line), which at 100 TB of text is
-    orders of magnitude smaller than the corpus (the round-2 design
-    checkpointed the full line table — a full-corpus copy). The source
-    is scanned twice (hash pass + reassembly pass); columnar scans are
-    the cheap side of that trade. A 64-bit hash collision could only
+    the hot list is a tiny broadcast semi-join probe, so LINE TEXT never
+    shuffles and is never copied into executor storage — drop positions
+    fold to one small array per affected doc and the removal is an
+    index-aware filter on the ORIGINAL row. What IS materialized is only
+    the (doc, pos, hash, len) table (~24 bytes/line), which at 100 TB of
+    text is orders of magnitude smaller than the corpus (the round-2
+    design checkpointed the full line table — a full-corpus copy). The
+    source is scanned twice (hash pass + original-row rewrite pass, no
+    second explode); columnar scans are the cheap side of that trade. A 64-bit hash collision could only
     drop a line that collides with a genuinely hot line (~n·2⁻⁶⁴ —
     negligible next to the heuristic's own noise; the sf0.01 oracle,
     which compares against string-keyed SQL, stays bit-exact). Lines
@@ -251,7 +251,8 @@ def strip_boilerplate_lines(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
     hashed = lines.select(
-        "doc", line_h.alias("line_h"), F.length("line").alias("line_len")
+        "doc", "pos", line_h.alias("line_h"),
+        F.length("line").alias("line_len")
     ).localCheckpoint(eager=True)
     hot = (
         hashed.where(F.col("line_len") >= min_line_chars)
@@ -261,45 +262,50 @@ def strip_boilerplate_lines(
         .select("line_h")
     )
     # hot only ever contains hashes of lines ≥ min_line_chars, so the
-    # anti-join alone implements the exemption
-    kept = (
-        lines.withColumn("line_h", line_h)
-        .join(hot, "line_h", "left_anti")
-        .drop("line_h")
-    )
-    # all_docs derived from the (materialized) hash table, not a third
-    # source scan
-    return _reassemble_docs(kept, hashed.select("doc").distinct(),
-                            "line", "\n", "n_lines_kept")
+    # semi-join alone implements the exemption; drops are (doc, pos)
+    # rows off the materialized hash table — the text explode runs
+    # exactly once (the hash pass) and the rewrite works on original
+    # rows via _drop_positions_rewrite
+    drops = hashed.join(hot, "line_h", "left_semi").select("doc", "pos")
+    return _drop_positions_rewrite(df, key_col, text_col, "\n", drops,
+                                   "n_lines_kept")
 
 
-def _reassemble_docs(kept: DataFrame, all_docs: DataFrame, unit_col: str,
-                     sep: str, count_alias: str) -> DataFrame:
-    """Order-pinned per-doc reassembly of surviving (doc, pos, unit)
-    rows, with the lost-everything contract: a doc whose EVERY unit was
-    dropped still appears (empty text, zero count) — "was 100% dropped"
-    and "never existed" are different facts downstream. THE single home
-    of this contract for the line/paragraph strippers."""
-    agg = (
-        kept.groupBy("doc")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", unit_col))),
-                    lambda x: x[unit_col],
-                ),
-                sep,
-            ).alias("clean_text"),
-            F.count("*").cast("long").alias(count_alias),
-        )
-    )
+def _drop_positions_rewrite(df: DataFrame, key_col: str, text_col: str,
+                            sep: str, drops: DataFrame,
+                            count_alias: str) -> DataFrame:
+    """Delete the sep-delimited units named by ``drops`` (doc, pos)
+    from each document ON ITS ORIGINAL ROW: per-doc drop positions fold
+    to one small array row (partial-aggregated groupBy of skinny rows),
+    join back to the source, and an index-aware array filter removes
+    the units — document text never shuffles, in ANY duplication
+    regime (the previous reassembly groupBy moved every surviving
+    unit's text through an exchange). THE single home of the
+    lost-everything contract for the line/paragraph strippers: a doc
+    whose every unit was dropped still appears (empty text, zero
+    count) — "was 100% dropped" and "never existed" are different
+    facts downstream. ``sep`` must be metacharacter-free so that
+    split-then-rejoin is the identity on whatever survives; null-text
+    docs are absent from the output (they have no units — same as the
+    explode-based form this replaces)."""
+    per_doc = drops.groupBy("doc").agg(
+        F.collect_set("pos").alias("__drop__"))
+    units = F.split(F.col("__orig__"), sep)
+    kept_units = F.filter(
+        units, lambda u, i: ~F.array_contains(F.col("__drop__"), i))
     return (
-        all_docs.join(agg, "doc", "left")
+        df.select(F.col(key_col).alias("doc"),
+                  F.col(text_col).alias("__orig__"))
+        .where(F.col("__orig__").isNotNull())
+        .join(per_doc, "doc", "left")
         .select(
             "doc",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce(count_alias, F.lit(0)).cast("long")
-            .alias(count_alias),
+            F.when(F.col("__drop__").isNull(), F.col("__orig__"))
+            .otherwise(F.array_join(kept_units, sep)).alias("clean_text"),
+            (F.size(units)
+             - F.when(F.col("__drop__").isNull(), F.lit(0))
+             .otherwise(F.size("__drop__")))
+            .cast("long").alias(count_alias),
         )
     )
 
@@ -328,9 +334,8 @@ def dedup_paragraphs(
     ``(doc, pos, xxhash64(para))`` rows (~24 bytes/paragraph) — one
     groupBy on the 8-byte hash picks the ``min(struct(doc, pos))``
     keeper, and only the LOSER keys (one row per dropped copy, a small
-    fraction of the corpus) flow into the anti-join that filters the
-    text-carrying side; paragraph text itself never shuffles except in
-    the one unavoidable per-doc reassembly agg. Paragraphs shorter than
+    fraction of the corpus) fold to per-doc drop arrays that filter the
+    original rows in place; paragraph text itself NEVER shuffles. Paragraphs shorter than
     ``min_para_chars`` are exempt (blank separators and one-word
     paragraphs repeat naturally; deduping them would silently reflow
     unrelated documents). A 64-bit hash collision can only drop a
@@ -357,9 +362,8 @@ def dedup_paragraphs(
                | (F.col("pos") != F.col("first.pos")))
         .select("doc", "pos")
     )
-    kept = paras.join(losers, ["doc", "pos"], "left_anti")
-    return _reassemble_docs(kept, hashed.select("doc").distinct(),
-                            "para", sep, "n_paras_kept")
+    return _drop_positions_rewrite(df, key_col, text_col, sep, losers,
+                                   "n_paras_kept")
 
 
 # Karp-Rabin multiplier: odd (invertible mod 2^64, and A^k stays odd so
