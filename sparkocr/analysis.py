@@ -169,6 +169,112 @@ def repetition_ratio(df: DataFrame, key_col: str,
     )
 
 
+def gopher_repetition_signals(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    *,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The Gopher repetition battery (Rae et al. 2021, Table A1) — the
+    standard pretraining quality gate this package's simpler
+    :func:`repetition_ratio` fronts for. Per document:
+
+    - ``frac_dup_lines`` / ``frac_dup_paras``: occurrences beyond the
+      first of a repeated line/paragraph, over total units — the
+      fraction a within-doc dedup would delete;
+    - ``frac_chars_dup_lines`` / ``frac_chars_dup_paras``: character
+      mass of those beyond-first occurrences over total unit chars;
+    - ``frac_chars_top_{n}gram`` (n ∈ ``top_ns``): characters of the
+      most frequent word n-gram (ties → lexicographically smallest,
+      so the signal is deterministic) times its count, over total
+      chars;
+    - ``frac_chars_dup_{n}gram`` (n ∈ ``dup_ns``): characters of token
+      positions covered by ANY word n-gram occurring more than once —
+      positional coverage, overlaps counted once (separator chars
+      excluded from both sides of the ratio).
+
+    Published reimplementations differ on beyond-first vs
+    all-occurrences conventions; this one pins the definitions above
+    and tests them against an independent pure-Python reference.
+
+    Execution: every signal is doc-local, so the whole battery is ONE
+    narrow Arrow-batched pass — no explode, no shuffle, nothing
+    leaves the row's partition (the per-doc Counter work happens
+    inside the Arrow batch, the same budget as the extraction engine's
+    mapInPandas). Null/empty text scores all-zero. Fractions round to
+    6 decimals."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    fields = (
+        ["frac_dup_lines", "frac_chars_dup_lines",
+         "frac_dup_paras", "frac_chars_dup_paras"]
+        + [f"frac_chars_top_{n}gram" for n in top_ns]
+        + [f"frac_chars_dup_{n}gram" for n in dup_ns]
+    )
+    out_type = StructType(
+        [StructField(f, DoubleType(), False) for f in fields])
+
+    def _one(text: str) -> list:
+        from collections import Counter
+
+        if not text:
+            return [0.0] * len(fields)
+        vals = []
+        for sep in ("\n", "\n\n"):
+            units = text.split(sep)
+            n_units = len(units)
+            counts = Counter(units)
+            extra = sum(c - 1 for c in counts.values() if c > 1)
+            extra_chars = sum(
+                (c - 1) * len(u) for u, c in counts.items() if c > 1)
+            tot_chars = sum(len(u) for u in units)
+            vals.append(round(extra / n_units, 6) if n_units else 0.0)
+            vals.append(round(extra_chars / tot_chars, 6)
+                        if tot_chars else 0.0)
+        toks = text.split(" ")
+        tok_lens = [len(t) for t in toks]
+        tot = sum(tok_lens)
+        for n in top_ns:
+            grams = Counter(
+                tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+            if not grams or tot == 0:
+                vals.append(0.0)
+                continue
+            # max count, then smallest gram — a total order
+            g, c = min(grams.items(), key=lambda kv: (-kv[1], kv[0]))
+            if c < 2:
+                vals.append(0.0)
+                continue
+            vals.append(round(c * sum(len(t) for t in g) / tot, 6))
+        for n in dup_ns:
+            grams = Counter(
+                tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+            covered = [False] * len(toks)
+            for i in range(len(toks) - n + 1):
+                if grams[tuple(toks[i:i + n])] > 1:
+                    for j in range(i, i + n):
+                        covered[j] = True
+            vals.append(
+                round(sum(l for l, cv in zip(tok_lens, covered) if cv)
+                      / tot, 6) if tot else 0.0)
+        return vals
+
+    @pandas_udf(out_type)
+    def battery(texts):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.DataFrame(
+            [_one(t) for t in texts], columns=fields)
+
+    return df.select(
+        F.col(key_col).alias("doc"),
+        battery(F.col(text_col)).alias("_s")
+    ).select("doc", "_s.*")
+
+
 def contamination_counts(df: DataFrame, probes: list[str],
                          text_col: str = "text") -> DataFrame:
     """Benchmark-contamination scan: how many documents contain each

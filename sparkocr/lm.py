@@ -202,6 +202,53 @@ def with_perplexity(
     ).drop("_k")
 
 
+def ppl_buckets(
+    scores: DataFrame,
+    ppl_col: str = "ppl",
+    boundaries: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): label every
+    row of a :func:`perplexity_scores` output by which corpus-level
+    perplexity quantile band it falls in — ``head`` = lowest perplexity
+    (most reference-like), ``tail`` = highest. The cut points are exact
+    ``percentile_cont``-style quantiles (linear interpolation) of the
+    non-null scores; a row with ``ppl`` exactly on a boundary goes to
+    the lower band (<=), and NULL ppl (empty documents) gets a NULL
+    bucket — the caller's gate decides their fate, as everywhere in
+    this package.
+
+    Plan shape: one exact-percentile aggregation (partial-aggregated;
+    at true corpus scale swap in ``approx_percentile`` and note the
+    tolerance) producing ``len(boundaries)`` driver-side scalars, then
+    a pure-expression label — the corpus-sized side is touched once
+    and never shuffles."""
+    if len(labels) != len(boundaries) + 1:
+        raise ValueError("need exactly len(boundaries)+1 labels")
+    if list(boundaries) != sorted(boundaries) or any(
+            not 0 < b < 1 for b in boundaries):
+        raise ValueError("boundaries must be ascending and in (0, 1)")
+    cuts_row = scores.agg(
+        F.percentile(F.col(ppl_col), F.array(
+            *[F.lit(float(b)) for b in boundaries]))).head()[0]
+    if cuts_row is None:  # no non-null scores at all
+        cuts_row = [None] * len(boundaries)
+    expr = None
+    for cut, label in zip(cuts_row, labels[:-1]):
+        if cut is None:
+            continue
+        cond = F.col(ppl_col) <= F.lit(float(cut))
+        expr = F.when(cond, label) if expr is None else expr.when(
+            cond, label)
+    last = F.lit(labels[-1])
+    bucket = (last if expr is None else expr.otherwise(last))
+    return scores.withColumn(
+        "ppl_bucket",
+        F.when(F.col(ppl_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(bucket),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR hashed-n-gram importance resampling
 
