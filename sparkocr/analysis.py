@@ -275,6 +275,74 @@ def gopher_repetition_signals(
     ).select("doc", "_s.*")
 
 
+# The published Gopher gate (Rae et al. 2021, Table A1): a document
+# failing ANY of these is removed from the training set.
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "frac_dup_lines": 0.30,
+    "frac_chars_dup_lines": 0.20,
+    "frac_dup_paras": 0.30,
+    "frac_chars_dup_paras": 0.20,
+    "frac_chars_top_2gram": 0.20,
+    "frac_chars_top_3gram": 0.18,
+    "frac_chars_top_4gram": 0.16,
+    "frac_chars_dup_5gram": 0.15,
+    "frac_chars_dup_6gram": 0.14,
+    "frac_chars_dup_7gram": 0.13,
+    "frac_chars_dup_8gram": 0.12,
+    "frac_chars_dup_9gram": 0.11,
+    "frac_chars_dup_10gram": 0.10,
+}
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """The Gopher repetition GATE over
+    :func:`gopher_repetition_signals`: per document, which thresholds
+    it violates. Returns (doc, passes boolean, n_violations long,
+    violations array<string> — the violated signal names, in the
+    thresholds' order, so a data audit can aggregate failure causes).
+    Defaults are the paper's Table A1 values
+    (:data:`GOPHER_REPETITION_THRESHOLDS`); pass a dict to tighten,
+    loosen, or gate on a subset. Same narrow zero-shuffle plan as the
+    signals — the gate adds only expressions."""
+    import re
+
+    thr = thresholds if thresholds is not None \
+        else GOPHER_REPETITION_THRESHOLDS
+    # the n-gram set derives from the thresholds, so a subset gate
+    # computes only the grams it actually checks
+    top_ns = tuple(sorted(
+        int(m.group(1)) for k in thr
+        if (m := re.fullmatch(r"frac_chars_top_(\d+)gram", k))))
+    dup_ns = tuple(sorted(
+        int(m.group(1)) for k in thr
+        if (m := re.fullmatch(r"frac_chars_dup_(\d+)gram", k))))
+    sig = gopher_repetition_signals(df, key_col, text_col,
+                                    top_ns=top_ns, dup_ns=dup_ns)
+    missing = [k for k in thr if k not in sig.columns]
+    if missing:
+        raise ValueError(
+            f"thresholds name unknown signals: {missing}")
+    viol = F.filter(
+        F.array(*[
+            F.when(F.col(name) > F.lit(float(t)), F.lit(name))
+            .otherwise(F.lit(None).cast("string"))
+            for name, t in thr.items()
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    return sig.select(
+        "doc",
+        (F.size(viol) == 0).alias("passes"),
+        F.size(viol).cast("long").alias("n_violations"),
+        viol.alias("violations"),
+    )
+
+
 def contamination_counts(df: DataFrame, probes: list[str],
                          text_col: str = "text") -> DataFrame:
     """Benchmark-contamination scan: how many documents contain each

@@ -23,6 +23,7 @@ from sparkocr.analysis import (
     dedup_paragraphs,
     dedup_substrings,
     exact_dedup_groups,
+    gopher_repetition_filter,
     mix_corpus,
     ngram_contamination,
     pack_sequences,
@@ -47,6 +48,8 @@ def build_training_corpus(
     pack_shards: int = 1,
     max_ppl: float | None = None,
     ppl_lm: "UnigramLM | None" = None,
+    gopher_gate: bool = False,
+    gopher_thresholds: dict[str, float] | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full corpus build over ``docs`` (columns ``doc_id``,
     ``source``, ``text``) and return the named stage outputs:
@@ -115,6 +118,21 @@ def build_training_corpus(
         # fans out below: keeper join, contamination scan, final output
         .localCheckpoint(eager=True)
     )
+
+    # 4a. optional Gopher repetition gate (published Table A1
+    # thresholds by default) — a pure narrow pass, so no extra
+    # materialization boundary is needed for the filter itself
+    if gopher_gate:
+        keep = (
+            gopher_repetition_filter(
+                gated, "doc_id",
+                thresholds=(gopher_thresholds
+                            if gopher_thresholds is not None else None))
+            .where("passes")
+            .select(F.col("doc").alias("doc_id"))
+        )
+        gated = gated.join(keep, "doc_id",
+                           "left_semi").localCheckpoint(eager=True)
 
     # 4b. optional CCNet-style perplexity gate. Default LM: trained on
     # the gated corpus itself (self-perplexity flags the outliers); a

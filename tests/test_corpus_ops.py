@@ -769,3 +769,60 @@ def test_ppl_buckets_validation_and_nulls(spark):
         ppl_buckets(s, boundaries=(0.8, 0.2))
     with _pytest.raises(ValueError):
         ppl_buckets(s, labels=("a", "b"))
+
+
+def test_gopher_filter_gate_and_violations(spark):
+    from sparkocr.analysis import (GOPHER_REPETITION_THRESHOLDS,
+                                   gopher_repetition_filter)
+
+    clean = ("the quick brown fox jumps over the lazy dog near the old "
+             "river bank while distant markets open slowly today")
+    spammy = "buy now " * 40  # top 2-gram covers nearly everything
+    df = spark.createDataFrame(
+        [(1, clean), (2, spammy)], "doc_id long, text string")
+    out = {r["doc"]: r.asDict() for r in
+           gopher_repetition_filter(df, "doc_id").collect()}
+    assert out[1]["passes"] and out[1]["n_violations"] == 0
+    assert not out[2]["passes"]
+    assert "frac_chars_top_2gram" in out[2]["violations"]
+    # subset gate computes only what it checks and orders violations
+    # by the thresholds dict
+    sub = {r["doc"]: r.asDict() for r in gopher_repetition_filter(
+        df, "doc_id",
+        thresholds={"frac_chars_top_2gram": 0.2}).collect()}
+    assert sub[2]["violations"] == ["frac_chars_top_2gram"]
+    assert sub[1]["passes"]
+    with pytest.raises(ValueError, match="unknown signals"):
+        gopher_repetition_filter(df, "doc_id",
+                                 thresholds={"no_such_signal": 0.1})
+    # defaults are exactly the paper's 13 signals
+    assert len(GOPHER_REPETITION_THRESHOLDS) == 13
+
+
+def test_corpus_build_gopher_gate_drops_repetitive_doc(spark):
+    from sparkocr.corpus import build_training_corpus
+
+    clean_rows = [
+        (i, "web",
+         f"unique document number {i} talks about rivers mountains "
+         f"markets and the slow morning trade of item {i * 7}")
+        for i in range(8)
+    ]
+    # top-2-gram repetitive ("buy now" = 2/3 of char mass) but every
+    # 50-token window is unique (the u{i} salt), so the substring-dedup
+    # and quality stages upstream leave it alone — only the Gopher gate
+    # can drop it
+    spam = (100, "web",
+            " ".join(f"buy now u{i}" for i in range(40)))
+    docs = spark.createDataFrame(clean_rows + [spam],
+                                 "doc_id long, source string, text string")
+    base = build_training_corpus(docs, min_quality_tokens=5,
+                                 stop_ratio_band=(0.0, 1.0))
+    assert 100 in {r["doc_id"]
+                   for r in base["documents"].select("doc_id").collect()}
+    gated = build_training_corpus(docs, min_quality_tokens=5,
+                                  stop_ratio_band=(0.0, 1.0),
+                                  gopher_gate=True)
+    ids = {r["doc_id"]
+           for r in gated["documents"].select("doc_id").collect()}
+    assert 100 not in ids and len(ids) >= 7
