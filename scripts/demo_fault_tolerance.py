@@ -1,0 +1,83 @@
+"""Executor-loss fault tolerance, demonstrated on the real cluster.
+
+Kills (SIGKILL) one executor JVM mid-extraction on the standalone
+cluster and asserts the job completes with a full, correct result —
+the standalone master re-offers resources, the driver reschedules the
+dead executor's tasks on the survivors, and lost partitions recompute
+through their lineage back to the durable parquet source. This is the
+evidence behind the package's P6 design note ("request/response
+channels → Spark action boundary + task retry").
+
+The demo also encodes a REAL caveat, learned the honest way: the input
+must NOT be `localCheckpoint`ed — local checkpoint blocks live in
+executor storage and die with the executor
+(`CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`), which is precisely why every
+scale-shape docstring in this package says to swap `localCheckpoint`
+for a reliable checkpoint dir / intermediate table on a real cluster.
+
+Usage: python scripts/demo_fault_tolerance.py   (starts a 4-worker
+cluster if none is running; tears it down only if it started one)
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from scripts.bench_cluster_scaling import (  # noqa: E402
+    _corpus, _port_open, _session, _zip_pkg, start_cluster)
+
+
+def main() -> int:
+    procs = []
+    if not _port_open(7077):
+        procs = start_cluster()
+        print("# started standalone cluster", file=sys.stderr)
+    try:
+        spark = _session(4, _zip_pkg())
+        spark.sparkContext.setLogLevel("ERROR")
+        from sparkocr.engine import SparkOcrEngine
+
+        # lineage reaches back to parquet — recomputable after loss
+        corpus = _corpus(spark, 60)
+        n_expected = corpus.count()
+
+        killed: dict = {}
+
+        def assassin() -> None:
+            time.sleep(8)  # well inside the extraction job
+            pids = subprocess.run(
+                ["pgrep", "-f",
+                 "executor.CoarseGrainedExecutorBackend"],
+                capture_output=True, text=True).stdout.split()
+            if pids:
+                subprocess.run(["kill", "-9", pids[0]])
+                killed["pid"] = pids[0]
+                print(f"# KILLED executor pid {pids[0]} mid-job",
+                      file=sys.stderr, flush=True)
+
+        t = threading.Thread(target=assassin)
+        t.start()
+        start = time.time()
+        result = SparkOcrEngine(spark).extract(corpus).count()
+        wall = time.time() - start
+        t.join()
+        spark.stop()
+        ok = bool(killed.get("pid")) and result == n_expected
+        print(f"rows {result}/{n_expected} in {wall:.1f}s after "
+              f"killing executor {killed.get('pid')}: "
+              f"{'PASSED' if ok else 'FAILED'}")
+        return 0 if ok else 1
+    finally:
+        for p in reversed(procs):
+            p.terminate()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
