@@ -343,6 +343,88 @@ def gopher_repetition_filter(
     )
 
 
+# the "must contain ≥2 of these" stop-word rule (Gopher Table A1)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """The NON-repetition half of the Gopher document gate (Rae et al.
+    2021, Table A1) — :func:`gopher_repetition_filter`'s sibling, with
+    the paper's defaults: word-count bounds, mean-word-length band,
+    symbol-to-word ratio (``#`` and ellipsis), bullet-started and
+    ellipsis-ended line fractions, alphabetic-word fraction, and the
+    ≥2-of-8 English stop-word requirement (skip that rule for
+    non-English corpora via ``min_stop_words=0``). Returns the same
+    audit shape as the repetition gate: (doc, passes boolean,
+    n_violations long, violations array<string>).
+
+    Every rule is a pure Catalyst expression over one split of the
+    text — a single narrow whole-stage-codegen pass, no UDF, no
+    shuffle, no explode."""
+    toks = F.split(F.col(text_col), "[ \t\n\r\f\x0b]+")
+    words = F.filter(toks, lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    nz = F.greatest(n_words, F.lit(1))
+    mean_len = (
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x)).cast("double") / nz)
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", ""))
+    n_ellipsis = (F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+                  + F.regexp_count(F.col(text_col), F.lit("…")))
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / nz
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^\s*[-*•‣▪]"))).cast("double") / n_lines
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("double") / n_lines
+    alpha_frac = F.size(F.filter(
+        words, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nz
+    n_stops = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array(*[F.lit(s) for s in _GOPHER_STOPS])))
+    rules = [
+        ("too_few_words", n_words < min_words),
+        ("too_many_words", n_words > max_words),
+        ("mean_word_len_out_of_band",
+         (mean_len < min_mean_word_len) | (mean_len > max_mean_word_len)),
+        ("symbol_word_ratio", symbol_ratio > max_symbol_word_ratio),
+        ("bullet_lines", bullet_frac > max_bullet_line_frac),
+        ("ellipsis_lines", ellipsis_frac > max_ellipsis_line_frac),
+        ("alpha_words", alpha_frac < min_alpha_word_frac),
+    ]
+    if min_stop_words > 0:
+        rules.append(("stop_words", n_stops < min_stop_words))
+    viol = F.filter(
+        F.array(*[F.when(cond, F.lit(name))
+                  .otherwise(F.lit(None).cast("string"))
+                  for name, cond in rules]),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        F.col(key_col).alias("doc"),
+        (F.size(viol) == 0).alias("passes"),
+        F.size(viol).cast("long").alias("n_violations"),
+        viol.alias("violations"),
+    )
+
+
 def contamination_counts(df: DataFrame, probes: list[str],
                          text_col: str = "text") -> DataFrame:
     """Benchmark-contamination scan: how many documents contain each

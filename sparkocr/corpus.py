@@ -121,7 +121,11 @@ def build_training_corpus(
 
     # 4a. optional Gopher repetition gate (published Table A1
     # thresholds by default) — a pure narrow pass, so no extra
-    # materialization boundary is needed for the filter itself
+    # materialization boundary is needed for the filter itself.
+    # Deliberately the REPETITION battery only: the pipeline's own
+    # quality gate (stage 4) already bounds length/stopwords with its
+    # caller-set band; compose analysis.gopher_quality_filter
+    # explicitly for the paper's full document gate.
     if gopher_gate:
         keep = (
             gopher_repetition_filter(

@@ -826,3 +826,44 @@ def test_corpus_build_gopher_gate_drops_repetitive_doc(spark):
     ids = {r["doc_id"]
            for r in gated["documents"].select("doc_id").collect()}
     assert 100 not in ids and len(ids) >= 7
+
+
+def test_gopher_quality_filter_rules(spark):
+    from sparkocr.analysis import gopher_quality_filter
+
+    good = ("the morning markets open with steady trade and boats move "
+            "along the river while vendors that have arrived early set "
+            "out fruit bread cloth and tools for the waiting town crowd "
+            "gathered near the gates before the bells ring out again "
+            "and the traders count their coins while children watch the "
+            "carts roll past the fountain toward the open square")
+    rows = [
+        (1, good),                                  # passes everything
+        (2, "short text"),                          # too few words
+        (3, " ".join(["####"] * 60)),               # symbols + alpha + stops
+        (4, "\n".join(["- item " + str(i) for i in range(20)])),  # bullets
+        (5, " ".join(["a"] * 60)),                  # mean len < 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc"]: r.asDict()
+           for r in gopher_quality_filter(df, "doc_id").collect()}
+    assert out[1]["passes"], out[1]["violations"]
+    assert "too_few_words" in out[2]["violations"]
+    assert {"symbol_word_ratio", "alpha_words",
+            "stop_words"} <= set(out[3]["violations"])
+    assert "bullet_lines" in out[4]["violations"]
+    assert "mean_word_len_out_of_band" in out[5]["violations"]
+    # non-English escape hatch: stop-word rule off
+    noen = gopher_quality_filter(
+        df, "doc_id", min_stop_words=0).collect()
+    assert all("stop_words" not in r["violations"] for r in noen)
+
+
+def test_gopher_quality_filter_pure_codegen(spark):
+    from sparkocr.analysis import gopher_quality_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = gopher_quality_filter(
+        docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
