@@ -566,6 +566,89 @@ def _drop_positions_rewrite(df: DataFrame, key_col: str, text_col: str,
     )
 
 
+def c4_line_filters(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    *,
+    min_line_words: int = 5,
+    require_terminal_punct: bool = True,
+    banned_line_substrings: tuple[str, ...] = ("javascript",),
+    min_sentences: int = 3,
+    page_banned_substrings: tuple[str, ...] = ("lorem ipsum",),
+    drop_brace_pages: bool = True,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, §2.2) with the
+    paper's defaults. Line level — a line survives only if it ends in
+    a terminal punctuation mark (``.!?"”``), has ≥ ``min_line_words``
+    words, and contains none of ``banned_line_substrings``
+    (case-insensitive). Page level — a document is FLAGGED dropped if
+    its original text contains any ``page_banned_substrings`` or (with
+    ``drop_brace_pages``) a curly brace, or if the line-filtered text
+    has fewer than ``min_sentences`` sentences (approximated as
+    terminal-punctuation runs, documented deviation from the paper's
+    unspecified sentence splitter).
+
+    Returns every input doc: (doc, clean_text, n_lines_kept,
+    dropped boolean, drop_reasons array<string>) — dropped pages keep
+    their filtered text so audits can inspect what the gate saw;
+    callers filter ``~dropped``.
+
+    Plan shape: the line rules are pure expressions over a positional
+    explode whose output is ONLY (doc, pos) drop keys — line text
+    never shuffles (the rewrite is :func:`_drop_positions_rewrite` on
+    original rows), and the page flags are one more narrow expression
+    pass. No UDF anywhere."""
+    line_words = F.size(F.filter(
+        F.split(F.col("line"), "[ \t]+"), lambda x: x != F.lit("")))
+    ok = line_words >= min_line_words
+    if require_terminal_punct:
+        ok = ok & F.col("line").rlike(r'[.!?"”]\s*$')
+    for s in banned_line_substrings:
+        ok = ok & ~F.contains(F.lower(F.col("line")), F.lit(s.lower()))
+    drops = (
+        spread_small_scan(df)
+        .select(F.col(key_col).alias("doc"),
+                F.posexplode(F.split(F.col(text_col), "\n"))
+                .alias("pos", "line"))
+        .where(~ok)
+        .select("doc", "pos")
+    )
+    cleaned = _drop_positions_rewrite(df, key_col, text_col, "\n",
+                                      drops, "n_lines_kept")
+    page_reasons = [
+        F.when(F.contains(F.lower(F.col("__orig__")), F.lit(s.lower())),
+               F.lit(f"contains:{s}")).otherwise(
+            F.lit(None).cast("string"))
+        for s in page_banned_substrings
+    ]
+    if drop_brace_pages:
+        page_reasons.append(
+            F.when(F.col("__orig__").rlike(r"[{}]"),
+                   F.lit("curly_brace")).otherwise(
+                F.lit(None).cast("string")))
+    orig = df.select(F.col(key_col).alias("doc"),
+                     F.col(text_col).alias("__orig__"))
+    n_sents = F.regexp_count(F.col("clean_text"), F.lit(r"[.!?]+"))
+    reasons = F.filter(
+        F.concat(
+            F.array(*page_reasons) if page_reasons else F.array(),
+            F.array(F.when(n_sents < min_sentences,
+                           F.lit("too_few_sentences")).otherwise(
+                F.lit(None).cast("string"))),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        cleaned.join(orig, "doc")
+        .select(
+            "doc", "clean_text", "n_lines_kept",
+            (F.size(reasons) > 0).alias("dropped"),
+            reasons.alias("drop_reasons"),
+        )
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     key_col: str,

@@ -867,3 +867,52 @@ def test_gopher_quality_filter_pure_codegen(spark):
         docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_c4_line_filters_hand_golden(spark):
+    from sparkocr.analysis import c4_line_filters
+
+    t1 = "\n".join([
+        "This line has enough words and ends properly.",   # kept
+        "short line.",                                     # <5 words
+        "No terminal punctuation on this line here",       # no punct
+        "Enable javascript to view this page properly.",   # banned word
+        'He said "it ends with a quote."',                 # kept (quote)
+        "Another perfectly reasonable sentence stands here.",  # kept
+    ])
+    t2 = "Lorem Ipsum dolor sit amet consectetur adipiscing elit today."
+    t3 = "var x = {a: 1}; this page is code with plenty of words inside."
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "doc_id long, text string")
+    out = {r["doc"]: r.asDict() for r in
+           c4_line_filters(df, "doc_id").collect()}
+    assert out[1]["clean_text"] == "\n".join([
+        "This line has enough words and ends properly.",
+        'He said "it ends with a quote."',
+        "Another perfectly reasonable sentence stands here.",
+    ])
+    assert out[1]["n_lines_kept"] == 3
+    assert not out[1]["dropped"]
+    assert out[2]["dropped"]
+    assert "contains:lorem ipsum" in out[2]["drop_reasons"]
+    assert out[3]["dropped"]
+    assert "curly_brace" in out[3]["drop_reasons"]
+    # one-line doc: survives line rules but fails the 3-sentence rule
+    one = spark.createDataFrame(
+        [(9, "Just one fine sentence that is long enough to stay.")],
+        "doc_id long, text string")
+    r9 = c4_line_filters(one, "doc_id").collect()[0]
+    assert r9["n_lines_kept"] == 1 and r9["dropped"]
+    assert r9["drop_reasons"] == ["too_few_sentences"]
+
+
+def test_c4_line_filters_plan_no_python_no_text_shuffle(spark):
+    from sparkocr.analysis import c4_line_filters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = c4_line_filters(
+        docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    for frag in plan.split("Exchange")[1:]:
+        first_line = frag.split("\n", 1)[0]
+        assert "text" not in first_line, f"text in shuffle: {first_line}"
