@@ -83,35 +83,44 @@ def start_cluster() -> list[subprocess.Popen]:
         [f"{home}/bin/spark-class", "org.apache.spark.deploy.master.Master",
          "-h", "127.0.0.1", "-p", "7077", "--webui-port", "8081"],
         f"{CLUSTER_DIR}/logs/master.log", env)]
-    deadline = time.time() + 60
-    while not _port_open(7077):
-        if time.time() > deadline:
-            raise RuntimeError("standalone master did not bind :7077 — "
-                               f"see {CLUSTER_DIR}/logs/master.log")
-        time.sleep(0.5)
-    for i in range(N_WORKERS):
-        wd = f"{CLUSTER_DIR}/work{i}"
-        os.makedirs(wd, exist_ok=True)
-        procs.append(_spawn(
-            ["taskset", "-c", str(i), f"{home}/bin/spark-class",
-             "org.apache.spark.deploy.worker.Worker",
-             "--cores", "1", "--memory", "4g", "--work-dir", wd,
-             "--webui-port", str(8100 + i), "-h", "127.0.0.1", MASTER_URL],
-            f"{CLUSTER_DIR}/logs/worker{i}.log", env))
-    deadline = time.time() + 90
-    while True:
-        n = sum(
-            1 for i in range(N_WORKERS)
-            if os.path.exists(f"{CLUSTER_DIR}/logs/worker{i}.log")
-            and "Successfully registered with master" in
-            open(f"{CLUSTER_DIR}/logs/worker{i}.log").read())
-        if n == N_WORKERS:
-            return procs
-        if time.time() > deadline:
-            raise RuntimeError(
-                f"only {n}/{N_WORKERS} workers registered — see "
-                f"{CLUSTER_DIR}/logs/")
-        time.sleep(1)
+    try:
+        deadline = time.time() + 60
+        while not _port_open(7077):
+            if time.time() > deadline:
+                raise RuntimeError(
+                    "standalone master did not bind :7077 — "
+                    f"see {CLUSTER_DIR}/logs/master.log")
+            time.sleep(0.5)
+        for i in range(N_WORKERS):
+            wd = f"{CLUSTER_DIR}/work{i}"
+            os.makedirs(wd, exist_ok=True)
+            procs.append(_spawn(
+                ["taskset", "-c", str(i), f"{home}/bin/spark-class",
+                 "org.apache.spark.deploy.worker.Worker",
+                 "--cores", "1", "--memory", "4g", "--work-dir", wd,
+                 "--webui-port", str(8100 + i), "-h", "127.0.0.1",
+                 MASTER_URL],
+                f"{CLUSTER_DIR}/logs/worker{i}.log", env))
+        deadline = time.time() + 90
+        while True:
+            n = sum(
+                1 for i in range(N_WORKERS)
+                if os.path.exists(f"{CLUSTER_DIR}/logs/worker{i}.log")
+                and "Successfully registered with master" in
+                open(f"{CLUSTER_DIR}/logs/worker{i}.log").read())
+            if n == N_WORKERS:
+                return procs
+            if time.time() > deadline:
+                raise RuntimeError(
+                    f"only {n}/{N_WORKERS} workers registered — see "
+                    f"{CLUSTER_DIR}/logs/")
+            time.sleep(1)
+    except Exception:
+        # never leak a half-started cluster: orphan daemons would keep
+        # :7077 bound and be mistaken for an external cluster next run
+        for p in reversed(procs):
+            p.terminate()
+        raise
 
 
 def _zip_pkg() -> str:

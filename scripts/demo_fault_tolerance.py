@@ -15,8 +15,10 @@ executor storage and die with the executor
 scale-shape docstring in this package says to swap `localCheckpoint`
 for a reliable checkpoint dir / intermediate table on a real cluster.
 
-Usage: python scripts/demo_fault_tolerance.py   (starts a 4-worker
-cluster if none is running; tears it down only if it started one)
+Usage: python scripts/demo_fault_tolerance.py   (starts the standard
+8-worker cluster if none is running — the job itself is capped at 4
+executors via spark.cores.max — and tears it down only if it started
+one)
 """
 
 from __future__ import annotations
@@ -59,6 +61,7 @@ def main() -> int:
             if pids:
                 subprocess.run(["kill", "-9", pids[0]])
                 killed["pid"] = pids[0]
+                killed["t"] = time.time()
                 print(f"# KILLED executor pid {pids[0]} mid-job",
                       file=sys.stderr, flush=True)
 
@@ -66,12 +69,19 @@ def main() -> int:
         t.start()
         start = time.time()
         result = SparkOcrEngine(spark).extract(corpus).count()
-        wall = time.time() - start
+        end = time.time()
+        wall = end - start
         t.join()
         spark.stop()
-        ok = bool(killed.get("pid")) and result == n_expected
+        # the kill must land BEFORE the job finishes, or the demo never
+        # exercised fault tolerance at all — FAIL loudly rather than
+        # report a vacuous PASS (e.g. tiny corpus finishing under the
+        # assassin's delay)
+        mid_job = bool(killed.get("t")) and killed["t"] < end
+        ok = mid_job and result == n_expected
         print(f"rows {result}/{n_expected} in {wall:.1f}s after "
-              f"killing executor {killed.get('pid')}: "
+              f"killing executor {killed.get('pid')}"
+              f"{' (mid-job)' if mid_job else ' (TOO LATE — invalid)'}: "
               f"{'PASSED' if ok else 'FAILED'}")
         return 0 if ok else 1
     finally:

@@ -374,20 +374,23 @@ def gopher_quality_filter(
 
     Every rule is a pure Catalyst expression over one split of the
     text — a single narrow whole-stage-codegen pass, no UDF, no
-    shuffle, no explode."""
-    toks = F.split(F.col(text_col), "[ \t\n\r\f\x0b]+")
+    shuffle, no explode. NULL text scores like empty text (zero
+    words → fails ``too_few_words``): a quality gate must fail
+    unreadable rows, never wave them through on null propagation."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(text, "[ \t\n\r\f\x0b]+")
     words = F.filter(toks, lambda x: x != F.lit(""))
     n_words = F.size(words)
     nz = F.greatest(n_words, F.lit(1))
     mean_len = (
         F.aggregate(words, F.lit(0).cast("long"),
                     lambda a, x: a + F.length(x)).cast("double") / nz)
-    n_hash = F.length(F.col(text_col)) - F.length(
-        F.regexp_replace(F.col(text_col), "#", ""))
-    n_ellipsis = (F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
-                  + F.regexp_count(F.col(text_col), F.lit("…")))
+    n_hash = F.length(text) - F.length(
+        F.regexp_replace(text, "#", ""))
+    n_ellipsis = (F.regexp_count(text, F.lit(r"\.\.\."))
+                  + F.regexp_count(text, F.lit("…")))
     symbol_ratio = (n_hash + n_ellipsis).cast("double") / nz
-    lines = F.split(F.col(text_col), "\n")
+    lines = F.split(text, "\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     bullet_frac = F.size(F.filter(
         lines, lambda l: l.rlike(r"^\s*[-*•‣▪]"))).cast("double") / n_lines
@@ -529,14 +532,19 @@ def strip_boilerplate_lines(
 
 def _drop_positions_rewrite(df: DataFrame, key_col: str, text_col: str,
                             sep: str, drops: DataFrame,
-                            count_alias: str) -> DataFrame:
+                            count_alias: str,
+                            keep_orig: bool = False) -> DataFrame:
     """Delete the sep-delimited units named by ``drops`` (doc, pos)
     from each document ON ITS ORIGINAL ROW: per-doc drop positions fold
     to one small array row (partial-aggregated groupBy of skinny rows),
     join back to the source, and an index-aware array filter removes
-    the units — document text never shuffles, in ANY duplication
-    regime (the previous reassembly groupBy moved every surviving
-    unit's text through an exchange). THE single home of the
+    the units. Document text never shuffles while the drop table
+    broadcasts (the common regime — only AFFECTED docs have a row);
+    when most docs carry drops Spark falls back to a doc-keyed
+    sort-merge join and the text side pays ONE exchange — still
+    strictly less than the old reassembly groupBy, which moved every
+    surviving unit's text through an exchange unconditionally (bucket
+    the source by doc to make even that one vanish). THE single home of the
     lost-everything contract for the line/paragraph strippers: a doc
     whose every unit was dropped still appears (empty text, zero
     count) — "was 100% dropped" and "never existed" are different
@@ -562,6 +570,9 @@ def _drop_positions_rewrite(df: DataFrame, key_col: str, text_col: str,
              - F.when(F.col("__drop__").isNull(), F.lit(0))
              .otherwise(F.size("__drop__")))
             .cast("long").alias(count_alias),
+            # callers computing further flags off the source text keep
+            # it on the SAME row (no extra scan, no join-back)
+            *([F.col("__orig__")] if keep_orig else []),
         )
     )
 
@@ -589,10 +600,11 @@ def c4_line_filters(
     terminal-punctuation runs, documented deviation from the paper's
     unspecified sentence splitter).
 
-    Returns every input doc: (doc, clean_text, n_lines_kept,
-    dropped boolean, drop_reasons array<string>) — dropped pages keep
-    their filtered text so audits can inspect what the gate saw;
-    callers filter ``~dropped``.
+    Returns every non-null-text input doc: (doc, clean_text,
+    n_lines_kept, dropped boolean, drop_reasons array<string>) —
+    dropped pages keep their filtered text so audits can inspect what
+    the gate saw; callers filter ``~dropped``. Null-text docs are
+    absent (no units — the same contract as the sibling strippers).
 
     Plan shape: the line rules are pure expressions over a positional
     explode whose output is ONLY (doc, pos) drop keys — line text
@@ -615,7 +627,8 @@ def c4_line_filters(
         .select("doc", "pos")
     )
     cleaned = _drop_positions_rewrite(df, key_col, text_col, "\n",
-                                      drops, "n_lines_kept")
+                                      drops, "n_lines_kept",
+                                      keep_orig=True)
     page_reasons = [
         F.when(F.contains(F.lower(F.col("__orig__")), F.lit(s.lower())),
                F.lit(f"contains:{s}")).otherwise(
@@ -627,8 +640,6 @@ def c4_line_filters(
             F.when(F.col("__orig__").rlike(r"[{}]"),
                    F.lit("curly_brace")).otherwise(
                 F.lit(None).cast("string")))
-    orig = df.select(F.col(key_col).alias("doc"),
-                     F.col(text_col).alias("__orig__"))
     n_sents = F.regexp_count(F.col("clean_text"), F.lit(r"[.!?]+"))
     reasons = F.filter(
         F.concat(
@@ -639,13 +650,13 @@ def c4_line_filters(
         ),
         lambda x: x.isNotNull(),
     )
-    return (
-        cleaned.join(orig, "doc")
-        .select(
-            "doc", "clean_text", "n_lines_kept",
-            (F.size(reasons) > 0).alias("dropped"),
-            reasons.alias("drop_reasons"),
-        )
+    # the rewrite carries __orig__ on the same row (keep_orig), so the
+    # page flags are expressions over the rewrite's own output — no
+    # third source scan, no join-back moving document text
+    return cleaned.select(
+        "doc", "clean_text", "n_lines_kept",
+        (F.size(reasons) > 0).alias("dropped"),
+        reasons.alias("drop_reasons"),
     )
 
 
@@ -927,10 +938,13 @@ def ngram_contamination(
     (doc, n_hit_windows, n_probes_hit).
 
     Scale shape: probe windows are tiny (probes × probe length) and
-    hashed JVM-side into a broadcast; the corpus pays one stride-1
-    window-hash generate (int64 rows, text never shuffles) and a
-    broadcast equi-join on the 8-byte hash — one corpus pass for all
-    probes, never a pass per probe. A hash collision can only
+    fold into a broadcast (both sides hash through the shared
+    token-xxhash64 + Arrow Karp-Rabin kernel of
+    :func:`_window_hashes`, so probe and corpus hashes agree by
+    construction); the corpus pays one stride-1 window-hash generate
+    (int64 rows, text never shuffles) and a broadcast equi-join on the
+    8-byte hash — one corpus pass for all probes, never a pass per
+    probe. A hash collision can only
     over-flag (a doc falsely marked contaminated), at ~(corpus
     windows)·(probe windows)·2⁻⁶⁴ — negligible, and over-flagging is
     the safe direction for decontamination."""

@@ -80,6 +80,10 @@ def build_training_corpus(
         raise ValueError(
             "ppl_lm given without max_ppl — the perplexity gate needs a "
             "threshold; pass max_ppl to enable it")
+    if gopher_thresholds is not None and not gopher_gate:
+        raise ValueError(
+            "gopher_thresholds given without gopher_gate=True — the "
+            "thresholds would be silently ignored")
     missing = {"doc_id", "source", "text"} - set(docs.columns)
     if missing:
         raise ValueError(f"docs is missing columns: {sorted(missing)}")
@@ -128,10 +132,8 @@ def build_training_corpus(
     # explicitly for the paper's full document gate.
     if gopher_gate:
         keep = (
-            gopher_repetition_filter(
-                gated, "doc_id",
-                thresholds=(gopher_thresholds
-                            if gopher_thresholds is not None else None))
+            gopher_repetition_filter(gated, "doc_id",
+                                     thresholds=gopher_thresholds)
             .where("passes")
             .select(F.col("doc").alias("doc_id"))
         )

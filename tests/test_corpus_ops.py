@@ -916,3 +916,28 @@ def test_c4_line_filters_plan_no_python_no_text_shuffle(spark):
     for frag in plan.split("Exchange")[1:]:
         first_line = frag.split("\n", 1)[0]
         assert "text" not in first_line, f"text in shuffle: {first_line}"
+
+
+def test_gopher_quality_filter_null_text_fails(spark):
+    """NULL text must FAIL the gate like empty text does — a quality
+    filter never waves unreadable rows through on null propagation."""
+    from sparkocr.analysis import gopher_quality_filter
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string")
+    out = {r["doc"]: r.asDict()
+           for r in gopher_quality_filter(df, "doc_id").collect()}
+    for d in (1, 2):
+        assert not out[d]["passes"]
+        assert "too_few_words" in out[d]["violations"]
+
+
+def test_corpus_build_rejects_orphan_gopher_thresholds(spark):
+    from sparkocr.corpus import build_training_corpus
+
+    docs = spark.createDataFrame(
+        [(0, "web", "some text here")],
+        "doc_id long, source string, text string")
+    with pytest.raises(ValueError, match="gopher_gate"):
+        build_training_corpus(docs,
+                              gopher_thresholds={"frac_dup_lines": 0.5})
