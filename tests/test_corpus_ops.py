@@ -941,3 +941,39 @@ def test_corpus_build_rejects_orphan_gopher_thresholds(spark):
     with pytest.raises(ValueError, match="gopher_gate"):
         build_training_corpus(docs,
                               gopher_thresholds={"frac_dup_lines": 0.5})
+
+
+def test_drop_positions_rewrite_property(spark):
+    """Hypothesis-style randomized invariants for the shared
+    positional-drop rewrite (one Spark round-trip over many random
+    cases — hypothesis driving Spark per-example would be minutes):
+    against a pure-Python split/del/join reference, across random
+    texts (empty units, trailing separators) and random drop sets
+    (empty, full, out-of-order, all positions)."""
+    import random
+
+    from sparkocr.analysis import _drop_positions_rewrite
+
+    rng = random.Random(99)
+    rows, drops, want = [], [], {}
+    for d in range(60):
+        n_units = rng.randint(0, 8)
+        units = [
+            rng.choice(["", "x", "longer unit", "a b", "zz"])
+            for _ in range(n_units)
+        ] or [""]  # "".split -> [""]
+        text = "\n".join(units)
+        rows.append((d, text))
+        k = rng.randint(0, len(units))
+        pos = rng.sample(range(len(units)), k)
+        drops += [(d, p) for p in pos]
+        keep = [u for i, u in enumerate(units) if i not in pos]
+        want[d] = ("\n".join(keep) if pos else text, len(units) - k)
+    df = spark.createDataFrame(rows, "doc long, text string")
+    ddf = spark.createDataFrame(drops or [(999999, 0)],
+                                "doc long, pos int")
+    out = {r["doc"]: (r["clean_text"], r["n_kept"])
+           for r in _drop_positions_rewrite(
+               df, "doc", "text", "\n", ddf, "n_kept").collect()
+           if r["doc"] != 999999}
+    assert out == want
