@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkocr.analysis import (
+    c4_line_filters,
     dedup_paragraphs,
     dedup_substrings,
     exact_dedup_groups,
@@ -50,6 +51,7 @@ def build_training_corpus(
     ppl_lm: "UnigramLM | None" = None,
     gopher_gate: bool = False,
     gopher_thresholds: dict[str, float] | None = None,
+    c4_clean: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full corpus build over ``docs`` (columns ``doc_id``,
     ``source``, ``text``) and return the named stage outputs:
@@ -97,6 +99,19 @@ def build_training_corpus(
                 F.col("clean_text").alias("text"))
         .localCheckpoint(eager=True)
     )
+
+    # 1b. optional C4 cleaning (Raffel et al. 2020 defaults): line-level
+    # terminal-punct/word-count/banned-substring removal plus the
+    # lorem-ipsum / curly-brace / <3-sentence page drops — runs on the
+    # raw-ish text BEFORE dedup, as in the paper's pipeline order
+    if c4_clean:
+        stripped = (
+            c4_line_filters(stripped, "doc_id")
+            .where(~F.col("dropped"))
+            .select(F.col("doc").alias("doc_id"),
+                    F.col("clean_text").alias("text"))
+            .localCheckpoint(eager=True)
+        )
     # 2. duplicated-passage removal (ExactSubstr; reads its input twice)
     passages = (
         dedup_substrings(stripped, "doc_id", min_len=substr_min_len)

@@ -180,3 +180,36 @@ def test_perplexity_gate_drops_the_outlier(spark):
     got = {r["doc_id"] for r in gated.select("doc_id").collect()}
     assert 99 not in got
     assert got == ids - {99}
+
+
+def test_corpus_build_c4_clean_stage(spark):
+    """c4_clean=True removes junk lines from surviving docs and drops
+    lorem-ipsum pages entirely, before any dedup runs."""
+    from sparkocr.corpus import build_training_corpus
+
+    good_lines = [
+        "The morning markets open with steady trade and careful hands.",
+        "Vendors that have arrived early set out fruit bread and cloth.",
+        "The waiting town crowd gathers near the gates before the bells.",
+    ]
+    rows = [
+        (i, "web", "\n".join(
+            good_lines + [f"click here {i}"]))  # junk line: no punct
+        for i in range(6)
+    ] + [(50, "web",
+          "Lorem ipsum dolor sit amet consectetur adipiscing elit "
+          "sed do eiusmod tempor incididunt ut labore et dolore.")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, source string, text string")
+    out = build_training_corpus(docs, min_quality_tokens=5,
+                                stop_ratio_band=(0.0, 1.0),
+                                boiler_min_df=100,  # keep repeated lines
+                                c4_clean=True)
+    got = {r["doc_id"]: r["text"]
+           for r in out["documents"].collect()}
+    assert 50 not in got  # lorem-ipsum page dropped
+    assert len(got) >= 1
+    for t in got.values():
+        assert "click here" not in t  # junk lines removed
+        for l in t.split("\n"):
+            assert l.rstrip().endswith(".")
