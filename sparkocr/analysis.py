@@ -1188,6 +1188,131 @@ def chunk_conversations(
     return narrow.groupBy("conv").applyInPandas(chunk, out_schema)
 
 
+def sft_context_windows(
+    df: DataFrame,
+    budget_tokens: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    token_col: str = "n_tokens",
+    target_role: str = "assistant",
+) -> DataFrame:
+    """The SFT pair-maker's windowing half: for every ``target_role``
+    turn, the MAXIMAL contiguous context window ending just before it
+    whose token total fits ``budget_tokens`` — the standard
+    "context-up-to-budget" assembly of chat fine-tuning data. Returns
+    one skinny row per target turn: (conv, turn, ctx_start, n_ctx_turns,
+    ctx_n_tokens); a target with no affordable context (first turn, or
+    the budget smaller than the previous turn) appears with
+    ``n_ctx_turns`` 0 and ``ctx_start`` = its own turn — visible to the
+    caller's policy, never silently dropped.
+
+    Execution mirrors :func:`chunk_conversations`: turn TEXT never
+    enters the operator — one per-conversation ``applyInPandas`` over
+    (turn, role, n_tokens) rows, with the window starts found by one
+    vectorized ``searchsorted`` over the conversation's token prefix
+    sums (O(n log n) per conversation, whale-proof). Pair
+    materialization is :func:`assemble_sft_pairs`."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+
+    out_schema = StructType([
+        StructField("conv", StringType()),
+        StructField("turn", LongType()),
+        StructField("ctx_start", LongType()),
+        StructField("n_ctx_turns", IntegerType()),
+        StructField("ctx_n_tokens", LongType()),
+    ])
+
+    def windows(key, pdf):
+        pdf = pdf.sort_values("turn", kind="mergesort")
+        toks = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        turns = pdf["turn"].to_numpy(dtype=np.int64)
+        pre = np.concatenate(([0], np.cumsum(toks)))[:-1]  # pre[i]=sum(<i)
+        tgt = np.flatnonzero(
+            (pdf["role"] == target_role).to_numpy())
+        if len(tgt) == 0:
+            return pd.DataFrame(
+                {c.name: pd.Series(dtype=object) for c in out_schema})
+        # smallest j with pre[j] >= pre[i] - B; pre nondecreasing
+        js = np.searchsorted(pre, pre[tgt] - budget_tokens, side="left")
+        js = np.minimum(js, tgt)  # context never includes the target
+        return pd.DataFrame({
+            "conv": np.repeat(key[0], len(tgt)),
+            "turn": turns[tgt],
+            "ctx_start": turns[js],
+            "n_ctx_turns": (tgt - js).astype(np.int32),
+            "ctx_n_tokens": pre[tgt] - pre[js],
+        })
+
+    narrow = df.select(
+        F.col(conv_col).cast("string").alias("conv"),
+        F.col(order_col).cast("long").alias("turn"),
+        F.col(role_col).cast("string").alias("role"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+    return narrow.groupBy("conv").applyInPandas(windows, out_schema)
+
+
+def assemble_sft_pairs(
+    df: DataFrame,
+    windows: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize :func:`sft_context_windows` into training pairs:
+    per target turn, the ordered context as array<struct{turn, role,
+    text}> plus the target's own role/text. This is the step where
+    text moves — inherently, it IS the output dataset; everything
+    upstream stayed skinny. The context join is a per-conversation
+    range join ((conv equal, turn in [ctx_start, target)) — bucket both
+    sides by conv to make the equi-part exchange-free). Zero-context
+    targets appear with an empty array."""
+    t = df.select(
+        F.col(conv_col).cast("string").alias("conv"),
+        F.col(order_col).cast("long").alias("t_turn"),
+        F.col(role_col).alias("t_role"),
+        F.col(text_col).alias("t_text"),
+    )
+    ctx_src = df.select(
+        F.col(conv_col).cast("string").alias("conv"),
+        F.col(order_col).cast("long").alias("c_turn"),
+        F.col(role_col).alias("c_role"),
+        F.col(text_col).alias("c_text"),
+    )
+    w = windows.select("conv", "turn", "ctx_start", "ctx_n_tokens")
+    ctx = (
+        w.join(ctx_src, ["conv"])
+        .where((F.col("c_turn") >= F.col("ctx_start"))
+               & (F.col("c_turn") < F.col("turn")))
+        .groupBy("conv", "turn")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("c_turn").alias("turn"),
+            F.col("c_role").alias("role"),
+            F.col("c_text").alias("text")))).alias("context"))
+    )
+    return (
+        w.join(ctx, ["conv", "turn"], "left")
+        .join(t, (w["conv"] == t["conv"])
+              & (w["turn"] == t["t_turn"]))
+        .select(
+            w["conv"], w["turn"],
+            F.coalesce(
+                "context",
+                F.array().cast(
+                    "array<struct<turn:bigint,role:string,text:string>>")
+            ).alias("context"),
+            F.col("t_role").alias("target_role"),
+            F.col("t_text").alias("target_text"),
+            "ctx_n_tokens",
+        )
+    )
+
+
 def sft_mask_spans(
     df: DataFrame,
     max_tokens: int,

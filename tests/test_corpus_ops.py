@@ -977,3 +977,109 @@ def test_drop_positions_rewrite_property(spark):
                df, "doc", "text", "\n", ddf, "n_kept").collect()
            if r["doc"] != 999999}
     assert out == want
+
+
+# ---------------------------------------------------------------------------
+# SFT context windows + pair assembly
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, "
+              "text string, n_tokens long")
+
+
+def test_sft_context_windows_hand_golden(spark):
+    from sparkocr.analysis import sft_context_windows
+
+    rows = [
+        ("c1", 0, "user", "u0", 10),
+        ("c1", 1, "assistant", "a1", 5),   # ctx: turn 0 (10 <= 12)
+        ("c1", 2, "user", "u2", 8),
+        ("c1", 3, "assistant", "a3", 5),   # ctx: turns 2 (5+8>12 ->
+                                           # start at 2? 1..2 = 5+8=13>12
+                                           # -> 2..2 = 8 <= 12)
+        ("c2", 0, "assistant", "a0", 3),   # first turn: empty context
+    ]
+    out = {(r["conv"], r["turn"]): r.asDict() for r in
+           sft_context_windows(_turns(spark, rows), 12).collect()}
+    assert set(out) == {("c1", 1), ("c1", 3), ("c2", 0)}
+    r = out[("c1", 1)]
+    assert (r["ctx_start"], r["n_ctx_turns"], r["ctx_n_tokens"]) == (0, 1, 10)
+    r = out[("c1", 3)]
+    assert (r["ctx_start"], r["n_ctx_turns"], r["ctx_n_tokens"]) == (2, 1, 8)
+    r = out[("c2", 0)]
+    assert (r["ctx_start"], r["n_ctx_turns"], r["ctx_n_tokens"]) == (0, 0, 0)
+    with pytest.raises(ValueError):
+        sft_context_windows(_turns(spark, rows), 0)
+
+
+def test_sft_context_windows_matches_duckdb_oracle(spark):
+    """Correlated-subquery oracle: smallest start with the window sum
+    inside the budget, per assistant turn."""
+    import random
+
+    from sparkocr.analysis import sft_context_windows
+
+    rng = random.Random(13)
+    rows = []
+    for c in range(12):
+        for t in range(rng.randint(1, 15)):
+            rows.append((f"c{c}", t,
+                         rng.choice(["user", "assistant", "tool"]),
+                         f"t{c}-{t}", rng.randint(1, 30)))
+    B = 40
+    got = sorted(
+        (r["conv"], r["turn"], r["ctx_start"], r["n_ctx_turns"],
+         r["ctx_n_tokens"])
+        for r in sft_context_windows(
+            _turns(spark, rows).repartition(5), B).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(conv VARCHAR, turn BIGINT, role VARCHAR,"
+                " text VARCHAR, n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", rows)
+    oracle = con.execute(f"""
+        WITH pre AS (
+          SELECT conv, turn, role, n,
+                 coalesce(sum(n) OVER (PARTITION BY conv ORDER BY turn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS p
+          FROM t
+        )
+        SELECT a.conv, a.turn,
+               coalesce((SELECT min(s.turn) FROM pre s
+                         WHERE s.conv = a.conv AND s.turn < a.turn
+                           AND a.p - s.p <= {B}), a.turn) AS ctx_start,
+               CAST(coalesce((SELECT count(*) FROM pre s
+                         WHERE s.conv = a.conv AND s.turn < a.turn
+                           AND a.p - s.p <= {B}), 0) AS INT)
+                 AS n_ctx_turns,
+               coalesce((SELECT a.p - min(s.p) FROM pre s
+                         WHERE s.conv = a.conv AND s.turn < a.turn
+                           AND a.p - s.p <= {B}), 0) AS ctx_n_tokens
+        FROM pre a WHERE a.role = 'assistant'
+    """).fetchall()
+    assert got == sorted(oracle)
+
+
+def test_assemble_sft_pairs_golden(spark):
+    from sparkocr.analysis import assemble_sft_pairs, sft_context_windows
+
+    rows = [
+        ("c1", 0, "user", "hello there", 10),
+        ("c1", 1, "assistant", "hi friend", 5),
+        ("c1", 2, "user", "long question follows", 8),
+        ("c1", 3, "assistant", "short answer", 5),
+        ("c2", 0, "assistant", "opener", 3),
+    ]
+    df = _turns(spark, rows)
+    w = sft_context_windows(df, 12)
+    out = {(r["conv"], r["turn"]): r.asDict()
+           for r in assemble_sft_pairs(df, w).collect()}
+    p = out[("c1", 3)]
+    assert p["target_text"] == "short answer"
+    assert [(c["turn"], c["role"], c["text"]) for c in p["context"]] == [
+        (2, "user", "long question follows")]
+    assert out[("c2", 0)]["context"] == []
+    assert out[("c1", 1)]["context"][0]["text"] == "hello there"
