@@ -1359,6 +1359,84 @@ def sft_mask_spans(
     )
 
 
+def validate_transcripts(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    *,
+    roles: tuple[str, ...] = ("user", "assistant", "tool", "system"),
+    strict: bool = False,
+) -> DataFrame:
+    """The input data contract a production ingest fronts the pipeline
+    with: one pass over the transcript table reporting, per check, how
+    many rows/conversations violate it. Checks:
+
+    - ``null_conv_id`` / ``null_turn_idx`` / ``null_text``: null keys
+      or payload (rows)
+    - ``negative_turn_idx``: ordering key below zero (rows)
+    - ``unknown_role``: role outside ``roles`` (rows; NULL counts)
+    - ``duplicate_turn``: more than one row per (conv, turn) — the
+      invariant every window-ranked reassembly in this package assumes
+      (conversations)
+    - ``non_contiguous_turns``: a conversation whose turn indices are
+      not exactly 0..n-1 (conversations) — informational for re-crawled
+      data, fatal for positional consumers
+
+    Returns (check string, n_violations long, unit string), every check
+    present (zero rows included) so dashboards diff runs structurally.
+    With ``strict=True`` raises ValueError listing the failing checks
+    instead of returning — the ingest-gate mode.
+
+    One narrow scan computes the row checks as conditional partial
+    aggregations; the two conversation checks share one (conv, turn)
+    groupBy — nothing text-sized shuffles."""
+    c, t = F.col(conv_col), F.col(order_col)
+    row_checks = df.agg(
+        F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("null_conv_id"),
+        F.sum(F.when(t.isNull(), 1).otherwise(0)).alias("null_turn_idx"),
+        F.sum(F.when(F.col(text_col).isNull(), 1).otherwise(0)).alias(
+            "null_text"),
+        F.sum(F.when(t < 0, 1).otherwise(0)).alias("negative_turn_idx"),
+        F.sum(F.when(~F.col(role_col).isin(*roles)
+                     | F.col(role_col).isNull(), 1).otherwise(0)).alias(
+            "unknown_role"),
+    ).head()
+    per_conv = (
+        df.where(c.isNotNull() & t.isNotNull())
+        .groupBy(c.alias("conv"), t.alias("turn"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("conv")
+        .agg(
+            F.max("n").alias("max_per_turn"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn").alias("lo"),
+            F.max("turn").alias("hi"),
+        )
+    )
+    conv_checks = per_conv.agg(
+        F.sum(F.when(F.col("max_per_turn") > 1, 1).otherwise(0)).alias(
+            "duplicate_turn"),
+        F.sum(F.when((F.col("lo") != 0)
+                     | (F.col("hi") != F.col("n_turns") - 1),
+                     1).otherwise(0)).alias("non_contiguous_turns"),
+    ).head()
+    rows = (
+        [(k, int(row_checks[k] or 0), "rows")
+         for k in ("null_conv_id", "null_turn_idx", "null_text",
+                   "negative_turn_idx", "unknown_role")]
+        + [(k, int(conv_checks[k] or 0), "conversations")
+           for k in ("duplicate_turn", "non_contiguous_turns")]
+    )
+    if strict:
+        bad = [(k, n) for k, n, _ in rows if n > 0]
+        if bad:
+            raise ValueError(f"transcript contract violated: {bad}")
+    return df.sparkSession.createDataFrame(
+        rows, "check string, n_violations long, unit string")
+
+
 def dedup_conversations(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -1083,3 +1083,42 @@ def test_assemble_sft_pairs_golden(spark):
         (2, "user", "long question follows")]
     assert out[("c2", 0)]["context"] == []
     assert out[("c1", 1)]["context"][0]["text"] == "hello there"
+
+
+def test_validate_transcripts_contract(spark):
+    from sparkocr.analysis import validate_transcripts
+
+    rows = [
+        ("c1", 0, "user", "hello"),
+        ("c1", 1, "assistant", "hi"),
+        ("c2", 0, "user", "solo"),
+        ("c3", 1, "user", "starts at one"),        # non-contiguous
+        ("c4", 0, "user", "dup turn a"),
+        ("c4", 0, "tool", "dup turn b"),           # duplicate (c4, 0)
+        (None, 0, "user", "null conv"),
+        ("c5", None, "user", "null turn"),
+        ("c6", -1, "user", "negative"),            # also non-contiguous
+        ("c7", 0, "robot", None),                  # bad role + null text
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, text string")
+    got = {r["check"]: (r["n_violations"], r["unit"])
+           for r in validate_transcripts(df).collect()}
+    assert got == {
+        "null_conv_id": (1, "rows"),
+        "null_turn_idx": (1, "rows"),
+        "null_text": (1, "rows"),
+        "negative_turn_idx": (1, "rows"),
+        "unknown_role": (1, "rows"),
+        "duplicate_turn": (1, "conversations"),
+        "non_contiguous_turns": (2, "conversations"),
+    }
+    with pytest.raises(ValueError, match="duplicate_turn"):
+        validate_transcripts(df, strict=True)
+    # a clean table: every check present with zero
+    clean = spark.createDataFrame(
+        [("c1", 0, "user", "a"), ("c1", 1, "assistant", "b")],
+        "conv_id string, turn_idx long, role string, text string")
+    zeros = {r["check"]: r["n_violations"]
+             for r in validate_transcripts(clean).collect()}
+    assert set(zeros) == set(got) and all(v == 0 for v in zeros.values())
