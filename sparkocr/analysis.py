@@ -237,30 +237,35 @@ def gopher_repetition_signals(
         toks = text.split(" ")
         tok_lens = [len(t) for t in toks]
         tot = sum(tok_lens)
+        # each n's gram sequence is built ONCE and reused by both the
+        # top-gram and the coverage signal
+        seqs = {
+            n: [tuple(toks[i:i + n])
+                for i in range(len(toks) - n + 1)]
+            for n in {*top_ns, *dup_ns}
+        }
+        top_vals, dup_vals = [], []
         for n in top_ns:
-            grams = Counter(
-                tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+            grams = Counter(seqs[n])
             if not grams or tot == 0:
-                vals.append(0.0)
+                top_vals.append(0.0)
                 continue
             # max count, then smallest gram — a total order
             g, c = min(grams.items(), key=lambda kv: (-kv[1], kv[0]))
-            if c < 2:
-                vals.append(0.0)
-                continue
-            vals.append(round(c * sum(len(t) for t in g) / tot, 6))
+            top_vals.append(
+                round(c * sum(len(t) for t in g) / tot, 6)
+                if c >= 2 else 0.0)
         for n in dup_ns:
-            grams = Counter(
-                tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+            seq = seqs[n]
+            grams = Counter(seq)
             covered = [False] * len(toks)
-            for i in range(len(toks) - n + 1):
-                if grams[tuple(toks[i:i + n])] > 1:
-                    for j in range(i, i + n):
-                        covered[j] = True
-            vals.append(
+            for i, g in enumerate(seq):
+                if grams[g] > 1:
+                    covered[i:i + n] = [True] * n
+            dup_vals.append(
                 round(sum(l for l, cv in zip(tok_lens, covered) if cv)
                       / tot, 6) if tot else 0.0)
-        return vals
+        return vals + top_vals + dup_vals
 
     @pandas_udf(out_type)
     def battery(texts):  # type: ignore[no-untyped-def]
