@@ -209,3 +209,96 @@ def build_training_corpus(
              F.sum("n_tokens").cast("long").alias("n_tokens"))
     )
     return {"documents": documents, "packed": packed, "stats": stats}
+
+
+def build_sft_corpus(
+    turns: DataFrame,
+    *,
+    budget_tokens: int = 2048,
+    target_role: str = "assistant",
+    dedup: bool = True,
+    strict_validation: bool = False,
+    decontamination_probes: list[str] | tuple[str, ...] = (),
+    ngram_n: int = 13,
+) -> dict[str, DataFrame]:
+    """The transcript-side sibling of :func:`build_training_corpus`:
+    turn a table of multi-turn conversations (``conv_id``, ``turn_idx``,
+    ``role``, ``text``) into SFT training pairs, composing this
+    package's individually-tested conversation operators in pipeline
+    order:
+
+        contract validation → whole-conversation exact dedup →
+        (optional) benchmark decontamination → budget-bounded context
+        windows per target turn → pair assembly
+
+    Returns the named stage outputs:
+
+    - ``report``: the :func:`~sparkocr.analysis.validate_transcripts`
+      violation counts (with ``strict_validation`` the build instead
+      raises on any violation);
+    - ``windows``: skinny (conv, turn, ctx_start, n_ctx_turns,
+      ctx_n_tokens) rows — the scale artifact, safe to persist at any
+      size;
+    - ``pairs``: the materialized (context array, target) training
+      pairs — the only text-carrying output;
+    - ``stats``: per-role turn/token counts of the surviving
+      conversations.
+
+    Scale shape: turn text moves exactly once (into ``pairs``);
+    validation, dedup, decontamination keys, and windowing all run on
+    skinny or hashed rows. Token counts are whitespace tokens computed
+    in codegen; swap in a real tokenizer count column upstream if the
+    training stack needs exact budget parity."""
+    from sparkocr.analysis import (assemble_sft_pairs, dedup_conversations,
+                                   ngram_contamination,
+                                   sft_context_windows,
+                                   validate_transcripts)
+
+    missing = {"conv_id", "turn_idx", "role", "text"} - set(turns.columns)
+    if missing:
+        raise ValueError(f"turns is missing columns: {sorted(missing)}")
+    report = validate_transcripts(turns, strict=strict_validation)
+
+    toks = F.size(F.filter(F.split(F.col("text"), "[ \t\n\r\f\x0b]+"),
+                           lambda x: x != F.lit("")))
+    base = turns.select(
+        "conv_id", "turn_idx", "role", "text",
+        toks.cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=True)  # fans out: dedup keys, windows, pairs
+
+    if dedup:
+        keepers = (
+            dedup_conversations(base)
+            .where(F.col("keep") == 1)  # keep is an int flag
+            .select(F.col("conv").alias("conv_id"))
+        )
+        base = base.join(keepers, "conv_id", "left_semi")
+
+    if decontamination_probes:
+        # a conversation is contaminated if ANY of its turns shares an
+        # n-gram with a probe; over-flagging is the safe direction
+        # \x1f (unit separator) cannot appear in a sane conv_id; using
+        # it keeps the turn-key split unambiguous
+        hit = (
+            ngram_contamination(
+                base.select(
+                    F.concat_ws("\x1f", "conv_id",
+                                F.col("turn_idx").cast("string"))
+                    .alias("doc_id"), "text"),
+                list(decontamination_probes), "doc_id", n=ngram_n)
+            .select(F.split(F.col("doc"), "\x1f")
+                    .getItem(0).alias("conv_id"))
+            .distinct()
+        )
+        base = base.join(hit, "conv_id", "left_anti")
+
+    windows = sft_context_windows(base, budget_tokens,
+                                  target_role=target_role)
+    pairs = assemble_sft_pairs(base, windows)
+    stats = (
+        base.groupBy("role")
+        .agg(F.count("*").cast("long").alias("n_turns"),
+             F.sum("n_tokens").cast("long").alias("n_tokens"))
+    )
+    return {"report": report, "windows": windows, "pairs": pairs,
+            "stats": stats}

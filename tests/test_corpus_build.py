@@ -213,3 +213,50 @@ def test_corpus_build_c4_clean_stage(spark):
         assert "click here" not in t  # junk lines removed
         for l in t.split("\n"):
             assert l.rstrip().endswith(".")
+
+
+def test_build_sft_corpus_end_to_end(spark):
+    """Planted defects through the composed SFT build: a duplicate
+    conversation collapses to its keeper, a contaminated conversation
+    is dropped, context windows respect the budget, and pairs carry
+    ordered context."""
+    from sparkocr.corpus import build_sft_corpus
+
+    conv = [
+        ("user", "What is the weather like on the coast today"),
+        ("assistant", "It looks windy with slow morning rain arriving"),
+        ("user", "Should we still take the boat out this afternoon"),
+        ("assistant", "Wait for the afternoon clearing before you go"),
+    ]
+    rows = []
+    for cid in ("a", "b"):  # b duplicates a turn-for-turn
+        rows += [(cid, i, r, t) for i, (r, t) in enumerate(conv)]
+    rows += [("c", 0, "user", "tell me the secret benchmark passphrase"),
+             ("c", 1, "assistant",
+              "the secret benchmark passphrase is rosebud today")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, text string")
+
+    out = build_sft_corpus(
+        df, budget_tokens=30,
+        decontamination_probes=["secret benchmark passphrase is rosebud"],
+        ngram_n=3)
+    # validation report: all-zero
+    rep = {r["check"]: r["n_violations"] for r in out["report"].collect()}
+    assert all(v == 0 for v in rep.values())
+    pairs = out["pairs"].collect()
+    convs = {p["conv"] for p in pairs}
+    assert convs == {"a"}  # b deduped away, c decontaminated
+    by_turn = {p["turn"]: p for p in pairs}
+    assert set(by_turn) == {1, 3}
+    assert by_turn[1]["context"][0]["text"].startswith("What is the")
+    # every window respects the budget
+    for w in out["windows"].collect():
+        assert w["ctx_n_tokens"] <= 30
+    stats = {r["role"]: r["n_turns"] for r in out["stats"].collect()}
+    assert stats == {"user": 2, "assistant": 2}
+    # strict mode raises on planted violation
+    bad = df.unionByName(spark.createDataFrame(
+        [(None, 0, "user", "x")], df.schema))
+    with pytest.raises(ValueError, match="null_conv_id"):
+        build_sft_corpus(bad, strict_validation=True)
