@@ -1318,6 +1318,48 @@ def assemble_sft_pairs(
     )
 
 
+def render_chat_pairs(
+    pairs: DataFrame,
+    *,
+    turn_format: str = "{role}: {text}",
+    turn_sep: str = "\n\n",
+) -> DataFrame:
+    """Render :func:`assemble_sft_pairs` output into trainable
+    (prompt_text, target_text) strings: each context turn through
+    ``turn_format`` (placeholders ``{role}``/``{text}``), joined by
+    ``turn_sep``, with the target turn's role header appended so the
+    model is prompted to speak — the generic role-header template;
+    swap ``turn_format`` for your chat template's markup. Adds
+    ``prompt_text`` (empty context → just the target header); all
+    other columns pass through. Pure expressions — the render is a
+    per-row transform over the already-assembled arrays."""
+    import re
+
+    if "{text}" not in turn_format or "{role}" not in turn_format:
+        raise ValueError(
+            "turn_format must contain {role} and {text} placeholders")
+    parts = re.split(r"(\{role\}|\{text\})", turn_format)
+
+    def fmt(role: F.Column, text: F.Column) -> F.Column:
+        return F.concat(*[
+            role if p == "{role}" else text if p == "{text}"
+            else F.lit(p)
+            for p in parts if p != ""
+        ])
+
+    rendered = F.array_join(
+        F.transform(F.col("context"),
+                    lambda c: fmt(c["role"], c["text"])),
+        turn_sep,
+    )
+    header = fmt(F.col("target_role"), F.lit("")).alias("_h")
+    prompt = F.when(
+        F.size("context") > 0,
+        F.concat(rendered, F.lit(turn_sep), header),
+    ).otherwise(header)
+    return pairs.withColumn("prompt_text", prompt)
+
+
 def sft_mask_spans(
     df: DataFrame,
     max_tokens: int,

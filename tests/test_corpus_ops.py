@@ -1122,3 +1122,28 @@ def test_validate_transcripts_contract(spark):
     zeros = {r["check"]: r["n_violations"]
              for r in validate_transcripts(clean).collect()}
     assert set(zeros) == set(got) and all(v == 0 for v in zeros.values())
+
+
+def test_render_chat_pairs(spark):
+    from sparkocr.analysis import (assemble_sft_pairs, render_chat_pairs,
+                                   sft_context_windows)
+
+    rows = [
+        ("c1", 0, "user", "hello there", 10),
+        ("c1", 1, "assistant", "hi friend", 5),
+        ("c2", 0, "assistant", "opener", 3),
+    ]
+    df = _turns(spark, rows)
+    pairs = assemble_sft_pairs(df, sft_context_windows(df, 100))
+    out = {(r["conv"], r["turn"]): r["prompt_text"]
+           for r in render_chat_pairs(pairs).collect()}
+    assert out[("c1", 1)] == "user: hello there\n\nassistant: "
+    assert out[("c2", 0)] == "assistant: "
+    # custom template with reversed placeholder order
+    alt = {(r["conv"], r["turn"]): r["prompt_text"]
+           for r in render_chat_pairs(
+               pairs, turn_format="<{text}|{role}>",
+               turn_sep="|").collect()}
+    assert alt[("c1", 1)] == "<hello there|user>|<|assistant>"
+    with pytest.raises(ValueError):
+        render_chat_pairs(pairs, turn_format="no placeholders")
