@@ -274,7 +274,7 @@ def gopher_repetition_signals(
         return pd.DataFrame(
             [_one(t) for t in texts], columns=fields)
 
-    return df.select(
+    return spread_small_scan(df).select(
         F.col(key_col).alias("doc"),
         battery(F.col(text_col)).alias("_s")
     ).select("doc", "_s.*")

@@ -723,7 +723,14 @@ def test_gopher_battery_plan_is_narrow(spark):
         "/root/testdata/sf0.001/documents.parquet")
     plan = gopher_repetition_signals(
         docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # doc-local: nothing shuffles
+    # doc-local signals: no data-dependent shuffle. The one allowed
+    # Exchange is spread_small_scan's RoundRobin spreading a
+    # single-split test scan across slots — the expensive Python
+    # kernel must not run on one core
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        frag = plan.split("Exchange", 1)[1].split("\n", 1)[0]
+        assert "RoundRobin" in frag, f"unexpected shuffle: {frag}"
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
 
