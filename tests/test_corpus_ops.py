@@ -1154,3 +1154,57 @@ def test_render_chat_pairs(spark):
     assert alt[("c1", 1)] == "<hello there|user>|<|assistant>"
     with pytest.raises(ValueError):
         render_chat_pairs(pairs, turn_format="no placeholders")
+
+
+def test_gopher_quality_filter_matches_reference(spark):
+    """Randomized cross-check of every rule against an independent
+    pure-Python implementation."""
+    import random
+    import re as _re
+
+    from sparkocr.analysis import gopher_quality_filter
+
+    def ref(text):
+        text = text or ""
+        words = [w for w in _re.split(r"[ \t\n\r\f\x0b]+", text) if w]
+        n = len(words)
+        nz = max(n, 1)
+        mean_len = sum(map(len, words)) / nz
+        n_sym = text.count("#") + len(_re.findall(r"\.\.\.", text)) \
+            + text.count("…")
+        lines = text.split("\n")
+        nl = max(len(lines), 1)
+        bullets = sum(bool(_re.match(r"^\s*[-*•‣▪]", l)) for l in lines)
+        ell = sum(bool(_re.search(r"(\.\.\.|…)\s*$", l)) for l in lines)
+        alpha = sum(bool(_re.search("[A-Za-z]", w)) for w in words)
+        stops = len({w.lower() for w in words}
+                    & {"the", "be", "to", "of", "and", "that", "have",
+                       "with"})
+        v = []
+        if n < 50: v.append("too_few_words")
+        if n > 100_000: v.append("too_many_words")
+        if mean_len < 3 or mean_len > 10:
+            v.append("mean_word_len_out_of_band")
+        if n_sym / nz > 0.1: v.append("symbol_word_ratio")
+        if bullets / nl > 0.9: v.append("bullet_lines")
+        if ell / nl > 0.3: v.append("ellipsis_lines")
+        if alpha / nz < 0.8: v.append("alpha_words")
+        if stops < 2: v.append("stop_words")
+        return v
+
+    rng = random.Random(31)
+    vocab = ["the", "and", "of", "trade", "x", "#tag", "...", "…",
+             "- item", "word", "longerword", "a", "12345", "end."]
+    rows = []
+    for d in range(60):
+        k = rng.randint(0, 120)
+        toks = [rng.choice(vocab) for _ in range(k)]
+        text = " ".join(toks)
+        if rng.random() < 0.4:
+            text = text.replace(" ", "\n", rng.randint(1, 5))
+        rows.append((d, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc"]: sorted(r["violations"])
+           for r in gopher_quality_filter(df, "doc_id").collect()}
+    for d, text in rows:
+        assert got[d] == sorted(ref(text)), (d, got[d], ref(text), text)
