@@ -1277,6 +1277,11 @@ def assemble_sft_pairs(
     range join ((conv equal, turn in [ctx_start, target)) — bucket both
     sides by conv to make the equi-part exchange-free). Zero-context
     targets appear with an empty array."""
+    # windows fans out below (context join + target join); without a
+    # boundary the per-conv applyInPandas would execute once per
+    # consumer — the rows are skinny (5 scalars per target turn), so
+    # the materialization is cheap at any scale
+    windows = windows.localCheckpoint(eager=True)
     t = df.select(
         F.col(conv_col).cast("string").alias("conv"),
         F.col(order_col).cast("long").alias("t_turn"),
