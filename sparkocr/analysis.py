@@ -1443,7 +1443,11 @@ def validate_transcripts(
 
     One narrow scan computes the row checks as conditional partial
     aggregations; the two conversation checks share one (conv, turn)
-    groupBy — nothing text-sized shuffles."""
+    groupBy — nothing text-sized shuffles. The input is read twice
+    (row pass + conversation pass): fine off a columnar source, so if
+    ``df`` is an expensive computed plan, materialize it upstream
+    first (the validator deliberately does not checkpoint a
+    text-carrying input itself)."""
     c, t = F.col(conv_col), F.col(order_col)
     row_checks = df.agg(
         F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("null_conv_id"),
