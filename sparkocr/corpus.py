@@ -246,9 +246,12 @@ def build_sft_corpus(
 
     Scale shape: turn text moves exactly once (into ``pairs``);
     validation, dedup, decontamination keys, and windowing all run on
-    skinny or hashed rows. Token counts are whitespace tokens computed
-    in codegen; swap in a real tokenizer count column upstream if the
-    training stack needs exact budget parity."""
+    skinny or hashed rows. The post-validation table is materialized
+    once (it fans out to every stage); on a real cluster swap that
+    ``localCheckpoint`` for a checkpoint dir / intermediate table, per
+    this module's standing policy. Token counts are whitespace tokens
+    computed in codegen; swap in a real tokenizer count column
+    upstream if the training stack needs exact budget parity."""
     from sparkocr.analysis import (assemble_sft_pairs, dedup_conversations,
                                    ngram_contamination,
                                    sft_context_windows,
