@@ -117,9 +117,16 @@ def start_cluster() -> list[subprocess.Popen]:
             time.sleep(1)
     except Exception:
         # never leak a half-started cluster: orphan daemons would keep
-        # :7077 bound and be mistaken for an external cluster next run
+        # :7077 bound and be mistaken for an external cluster next run.
+        # Escalate terminate → wait → kill: a JVM stuck in registration
+        # (this block's exact trigger) may also be stuck in SIGTERM.
         for p in reversed(procs):
             p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=15)
+            except Exception:
+                p.kill()
         raise
 
 

@@ -237,35 +237,36 @@ def gopher_repetition_signals(
         toks = text.split(" ")
         tok_lens = [len(t) for t in toks]
         tot = sum(tok_lens)
-        # each n's gram sequence is built ONCE and reused by both the
-        # top-gram and the coverage signal
-        seqs = {
-            n: [tuple(toks[i:i + n])
-                for i in range(len(toks) - n + 1)]
-            for n in {*top_ns, *dup_ns}
-        }
-        top_vals, dup_vals = [], []
-        for n in top_ns:
-            grams = Counter(seqs[n])
-            if not grams or tot == 0:
-                top_vals.append(0.0)
-                continue
-            # max count, then smallest gram — a total order
-            g, c = min(grams.items(), key=lambda kv: (-kv[1], kv[0]))
-            top_vals.append(
-                round(c * sum(len(t) for t in g) / tot, 6)
-                if c >= 2 else 0.0)
-        for n in dup_ns:
-            seq = seqs[n]
+        # one n's gram sequence alive at a time (a whale doc would pay
+        # |top_ns ∪ dup_ns| × n-gram tuples of peak memory otherwise),
+        # shared between the top-gram and coverage signals when the
+        # same n appears in both
+        top_vals: dict = {}
+        dup_vals: dict = {}
+        for n in sorted({*top_ns, *dup_ns}):
+            seq = [tuple(toks[i:i + n])
+                   for i in range(len(toks) - n + 1)]
             grams = Counter(seq)
-            covered = [False] * len(toks)
-            for i, g in enumerate(seq):
-                if grams[g] > 1:
-                    covered[i:i + n] = [True] * n
-            dup_vals.append(
-                round(sum(l for l, cv in zip(tok_lens, covered) if cv)
-                      / tot, 6) if tot else 0.0)
-        return vals + top_vals + dup_vals
+            if n in top_ns:
+                if not grams or tot == 0:
+                    top_vals[n] = 0.0
+                else:
+                    # max count, then smallest gram — a total order
+                    g, c = min(grams.items(),
+                               key=lambda kv: (-kv[1], kv[0]))
+                    top_vals[n] = (
+                        round(c * sum(len(t) for t in g) / tot, 6)
+                        if c >= 2 else 0.0)
+            if n in dup_ns:
+                covered = [False] * len(toks)
+                for i, g in enumerate(seq):
+                    if grams[g] > 1:
+                        covered[i:i + n] = [True] * n
+                dup_vals[n] = (
+                    round(sum(l for l, cv in zip(tok_lens, covered)
+                              if cv) / tot, 6) if tot else 0.0)
+        return (vals + [top_vals[n] for n in top_ns]
+                + [dup_vals[n] for n in dup_ns])
 
     @pandas_udf(out_type)
     def battery(texts):  # type: ignore[no-untyped-def]
@@ -1233,7 +1234,10 @@ def sft_context_windows(
 
     def windows(key, pdf):
         pdf = pdf.sort_values("turn", kind="mergesort")
-        toks = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        # a NULL token count would cast NaN → INT64_MIN and wreck the
+        # prefix sums' monotonicity (searchsorted then returns garbage
+        # silently); a null-text turn contributes zero tokens instead
+        toks = pdf["n_tokens"].fillna(0).to_numpy(dtype=np.int64)
         turns = pdf["turn"].to_numpy(dtype=np.int64)
         pre = np.concatenate(([0], np.cumsum(toks)))[:-1]  # pre[i]=sum(<i)
         tgt = np.flatnonzero(

@@ -262,8 +262,15 @@ def build_sft_corpus(
         raise ValueError(f"turns is missing columns: {sorted(missing)}")
     report = validate_transcripts(turns, strict=strict_validation)
 
-    toks = F.size(F.filter(F.split(F.col("text"), "[ \t\n\r\f\x0b]+"),
-                           lambda x: x != F.lit("")))
+    # null text → 0 tokens, explicitly: F.size(null) would yield a NULL
+    # count that downstream numpy kernels must never see
+    # greatest(, 0) also covers legacy sizeOfNull=-1 configurations
+    toks = F.greatest(
+        F.coalesce(
+            F.size(F.filter(F.split(F.col("text"), "[ \t\n\r\f\x0b]+"),
+                            lambda x: x != F.lit(""))),
+            F.lit(0)),
+        F.lit(0))
     base = turns.select(
         "conv_id", "turn_idx", "role", "text",
         toks.cast("long").alias("n_tokens"),
@@ -295,8 +302,13 @@ def build_sft_corpus(
         )
         base = base.join(hit, "conv_id", "left_anti")
 
-    windows = sft_context_windows(base, budget_tokens,
-                                  target_role=target_role)
+    # materialized HERE so the returned windows and the pair assembly
+    # share one evaluation of the dedup/decontaminate/window pipeline
+    # (assemble_sft_pairs re-checkpoints its copy — a cheap second pass
+    # over already-materialized skinny rows, not a recompute)
+    windows = sft_context_windows(
+        base, budget_tokens,
+        target_role=target_role).localCheckpoint(eager=True)
     pairs = assemble_sft_pairs(base, windows)
     stats = (
         base.groupBy("role")

@@ -221,16 +221,17 @@ def ppl_buckets(
     Plan shape: one exact-percentile aggregation (partial-aggregated;
     at true corpus scale swap in ``approx_percentile`` and note the
     tolerance) producing ``len(boundaries)`` driver-side scalars, then
-    a pure-expression label. ``scores`` is consumed twice (the
-    percentile job, then the labeled output), so it is materialized
-    here — skinny (key, ppl, n) rows, cheap at any scale — rather than
-    re-running whatever plan produced it."""
+    a pure-expression label. The input plan is evaluated twice — a
+    column-pruned percentile pass (only ``ppl_col`` survives pruning)
+    plus the labeled output — so materialize expensive score plans
+    upstream first; the function deliberately does not checkpoint its
+    input, whose columns it does not control (it may carry full
+    document text)."""
     if len(labels) != len(boundaries) + 1:
         raise ValueError("need exactly len(boundaries)+1 labels")
     if list(boundaries) != sorted(boundaries) or any(
             not 0 < b < 1 for b in boundaries):
         raise ValueError("boundaries must be ascending and in (0, 1)")
-    scores = scores.localCheckpoint(eager=True)
     cuts_row = scores.agg(
         F.percentile(F.col(ppl_col), F.array(
             *[F.lit(float(b)) for b in boundaries]))).head()[0]

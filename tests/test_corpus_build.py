@@ -260,3 +260,23 @@ def test_build_sft_corpus_end_to_end(spark):
         [(None, 0, "user", "x")], df.schema))
     with pytest.raises(ValueError, match="null_conv_id"):
         build_sft_corpus(bad, strict_validation=True)
+
+
+def test_build_sft_corpus_null_text_turn_is_zero_tokens(spark):
+    """A NULL-text turn must contribute zero tokens — not poison the
+    window kernel's prefix sums (NaN -> INT64_MIN)."""
+    from sparkocr.corpus import build_sft_corpus
+
+    rows = [
+        ("c1", 0, "user", None),
+        ("c1", 1, "user", "please summarize the long report"),
+        ("c1", 2, "assistant", "here is the summary you asked for"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, text string")
+    out = build_sft_corpus(df, budget_tokens=100, dedup=False)
+    [w] = out["windows"].collect()
+    assert (w["turn"], w["ctx_start"], w["n_ctx_turns"],
+            w["ctx_n_tokens"]) == (2, 0, 2, 5)
+    [p] = out["pairs"].collect()
+    assert [c["turn"] for c in p["context"]] == [0, 1]
