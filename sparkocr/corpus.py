@@ -52,6 +52,7 @@ def build_training_corpus(
     gopher_gate: bool = False,
     gopher_thresholds: dict[str, float] | None = None,
     c4_clean: bool = False,
+    with_funnel: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full corpus build over ``docs`` (columns ``doc_id``,
     ``source``, ``text``) and return the named stage outputs:
@@ -91,6 +92,7 @@ def build_training_corpus(
         raise ValueError(f"docs is missing columns: {sorted(missing)}")
 
     sources = docs.select("doc_id", "source")
+    funnel: list[tuple[str, DataFrame]] = [("input", docs)]
 
     # 1. cross-corpus boilerplate lines (hot-line anti-join)
     stripped = (
@@ -99,6 +101,7 @@ def build_training_corpus(
                 F.col("clean_text").alias("text"))
         .localCheckpoint(eager=True)
     )
+    funnel.append(("boilerplate_strip", stripped))
 
     # 1b. optional C4 cleaning (Raffel et al. 2020 defaults): line-level
     # terminal-punct/word-count/banned-substring removal plus the
@@ -112,6 +115,7 @@ def build_training_corpus(
                     F.col("clean_text").alias("text"))
             .localCheckpoint(eager=True)
         )
+        funnel.append(("c4_clean", stripped))
     # 2. duplicated-passage removal (ExactSubstr; reads its input twice)
     passages = (
         dedup_substrings(stripped, "doc_id", min_len=substr_min_len)
@@ -119,6 +123,7 @@ def build_training_corpus(
                 F.col("clean_text").alias("text"))
         .localCheckpoint(eager=True)
     )
+    funnel.append(("substr_dedup", passages))
     # 3. paragraph-level first-occurrence dedup (reads its input twice)
     paras = (
         dedup_paragraphs(passages, "doc_id")
@@ -137,6 +142,7 @@ def build_training_corpus(
         # fans out below: keeper join, contamination scan, final output
         .localCheckpoint(eager=True)
     )
+    funnel.append(("quality_gate", gated))
 
     # 4a. optional Gopher repetition gate (published Table A1
     # thresholds by default) — a pure narrow pass, so no extra
@@ -154,6 +160,7 @@ def build_training_corpus(
         )
         gated = gated.join(keep, "doc_id",
                            "left_semi").localCheckpoint(eager=True)
+        funnel.append(("gopher_gate", gated))
 
     # 4b. optional CCNet-style perplexity gate. Default LM: trained on
     # the gated corpus itself (self-perplexity flags the outliers); a
@@ -173,11 +180,13 @@ def build_training_corpus(
         # the LM's own token aggregation — would re-execute per consumer
         gated = gated.join(keep, "doc_id",
                            "left_semi").localCheckpoint(eager=True)
+        funnel.append(("perplexity_gate", gated))
 
     # 5. whole-document exact dedup (md5 digest shuffle, keeper wins)
     keepers = exact_dedup_groups(gated, "doc_id").select(
         F.col("keeper").alias("doc_id"))
     kept = gated.join(keepers, "doc_id", "left_semi")
+    funnel.append(("exact_dedup", kept))
 
     # 6. benchmark decontamination (drop any doc sharing an n-gram
     # with a probe; over-flagging is the safe direction)
@@ -187,12 +196,14 @@ def build_training_corpus(
         ).select("doc")
         kept = kept.join(contaminated.withColumnRenamed("doc", "doc_id"),
                          "doc_id", "left_anti")
+        funnel.append(("decontamination", kept))
 
     # 7. mixture draw on (id, source, n_tokens) rows only
     if mixture_weights is not None:
         chosen = mix_corpus(kept, mixture_weights, total_tokens).select(
             "doc_id")
         kept = kept.join(chosen, "doc_id", "left_semi")
+        funnel.append(("mixture", kept))
 
     documents = kept
 
@@ -208,7 +219,19 @@ def build_training_corpus(
         .agg(F.count("*").cast("long").alias("n_docs"),
              F.sum("n_tokens").cast("long").alias("n_tokens"))
     )
-    return {"documents": documents, "packed": packed, "stats": stats}
+    out = {"documents": documents, "packed": packed, "stats": stats}
+    if with_funnel:
+        # the retention funnel every production build reports: one
+        # count per stage boundary. Stage frames up to the quality gate
+        # are localCheckpoint'ed, so these are scans of materialized
+        # data plus the final semi/anti joins — an explicit, opt-in
+        # cost (it runs one action per stage)
+        spark = docs.sparkSession
+        out["funnel"] = spark.createDataFrame(
+            [(i, name, int(frame.count()))
+             for i, (name, frame) in enumerate(funnel)],
+            "stage_idx int, stage string, n_docs long")
+    return out
 
 
 def build_sft_corpus(

@@ -280,3 +280,33 @@ def test_build_sft_corpus_null_text_turn_is_zero_tokens(spark):
             w["ctx_n_tokens"]) == (2, 0, 2, 5)
     [p] = out["pairs"].collect()
     assert [c["turn"] for c in p["context"]] == [0, 1]
+
+
+def test_corpus_build_funnel(spark):
+    """with_funnel reports the retention at every stage boundary, in
+    pipeline order, monotonically non-increasing for the drop stages."""
+    from sparkocr.corpus import build_training_corpus
+
+    rows = [(i, "web",
+             f"document {i} body with plenty of ordinary words and the "
+             f"usual steady trade of item {i * 3} flowing through town")
+            for i in range(10)]
+    rows += [(50, "web", rows[0][2]), (51, "web", rows[0][2])]  # dups
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, source string, text string")
+    out = build_training_corpus(docs, min_quality_tokens=5,
+                                stop_ratio_band=(0.0, 1.0),
+                                with_funnel=True)
+    funnel = [(r["stage"], r["n_docs"])
+              for r in out["funnel"].orderBy("stage_idx").collect()]
+    stages = [s for s, _ in funnel]
+    assert stages == ["input", "boilerplate_strip", "substr_dedup",
+                      "quality_gate", "exact_dedup"]
+    counts = dict(funnel)
+    assert counts["input"] == 12
+    assert counts["exact_dedup"] < counts["input"]  # dups removed
+    # strippers rewrite but never drop docs
+    assert counts["boilerplate_strip"] == counts["input"]
+    # without the flag: no funnel key
+    assert "funnel" not in build_training_corpus(
+        docs, min_quality_tokens=5, stop_ratio_band=(0.0, 1.0))
