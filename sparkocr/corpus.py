@@ -65,6 +65,9 @@ def build_training_corpus(
     - ``packed``: fixed-budget training bins over ``documents``
       (group, shard, bin, pos, id, n_tokens, oversize)
     - ``stats``: per-source (n_docs, n_tokens) of ``documents``
+    - ``funnel`` (only with ``with_funnel=True``): per-stage retention
+      counts (stage_idx, stage, n_docs) in pipeline order — opt-in
+      because it runs one count action per stage boundary
 
     Materialization policy: text-rewriting stages that consume their
     input more than once internally (substring dedup reads the corpus
@@ -243,6 +246,7 @@ def build_sft_corpus(
     strict_validation: bool = False,
     decontamination_probes: list[str] | tuple[str, ...] = (),
     ngram_n: int = 13,
+    with_funnel: bool = False,
 ) -> dict[str, DataFrame]:
     """The transcript-side sibling of :func:`build_training_corpus`:
     turn a table of multi-turn conversations (``conv_id``, ``turn_idx``,
@@ -298,6 +302,7 @@ def build_sft_corpus(
         "conv_id", "turn_idx", "role", "text",
         toks.cast("long").alias("n_tokens"),
     ).localCheckpoint(eager=True)  # fans out: dedup keys, windows, pairs
+    funnel: list[tuple[str, DataFrame]] = [("input", base)]
 
     if dedup:
         keepers = (
@@ -306,6 +311,7 @@ def build_sft_corpus(
             .select(F.col("conv").alias("conv_id"))
         )
         base = base.join(keepers, "conv_id", "left_semi")
+        funnel.append(("conversation_dedup", base))
 
     if decontamination_probes:
         # a conversation is contaminated if ANY of its turns shares an
@@ -324,6 +330,7 @@ def build_sft_corpus(
             .distinct()
         )
         base = base.join(hit, "conv_id", "left_anti")
+        funnel.append(("decontamination", base))
 
     # materialized HERE so the returned windows and the pair assembly
     # share one evaluation of the dedup/decontaminate/window pipeline
@@ -338,5 +345,19 @@ def build_sft_corpus(
         .agg(F.count("*").cast("long").alias("n_turns"),
              F.sum("n_tokens").cast("long").alias("n_tokens"))
     )
-    return {"report": report, "windows": windows, "pairs": pairs,
-            "stats": stats}
+    out = {"report": report, "windows": windows, "pairs": pairs,
+           "stats": stats}
+    if with_funnel:
+        # conversation retention per stage, plus the final target-turn
+        # count (windows is already materialized). Opt-in: one count
+        # action per stage
+        spark = turns.sparkSession
+        rows = [
+            (i, name, int(frame.select("conv_id").distinct().count()),
+             "conversations")
+            for i, (name, frame) in enumerate(funnel)
+        ] + [(len(funnel), "target_windows", int(windows.count()),
+              "turns")]
+        out["funnel"] = spark.createDataFrame(
+            rows, "stage_idx int, stage string, n long, unit string")
+    return out

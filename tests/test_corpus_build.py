@@ -310,3 +310,21 @@ def test_corpus_build_funnel(spark):
     # without the flag: no funnel key
     assert "funnel" not in build_training_corpus(
         docs, min_quality_tokens=5, stop_ratio_band=(0.0, 1.0))
+
+
+def test_build_sft_corpus_funnel(spark):
+    from sparkocr.corpus import build_sft_corpus
+
+    conv = [("user", "hello there my friend"),
+            ("assistant", "hi how can I help you")]
+    rows = []
+    for cid in ("a", "b"):  # b duplicates a
+        rows += [(cid, i, r, t) for i, (r, t) in enumerate(conv)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, text string")
+    out = build_sft_corpus(df, budget_tokens=50, with_funnel=True)
+    funnel = {r["stage"]: (r["n"], r["unit"])
+              for r in out["funnel"].collect()}
+    assert funnel["input"] == (2, "conversations")
+    assert funnel["conversation_dedup"] == (1, "conversations")
+    assert funnel["target_windows"] == (1, "turns")
