@@ -31,7 +31,8 @@ from sparkocr.analysis import (
     strip_boilerplate_lines,
     with_quality,
 )
-from sparkocr.lm import UnigramLM, perplexity_scores, train_unigram_lm
+from sparkocr.lm import (QualityClassifier, UnigramLM, perplexity_scores,
+                         quality_scores, train_unigram_lm)
 
 
 def build_training_corpus(
@@ -52,6 +53,8 @@ def build_training_corpus(
     gopher_gate: bool = False,
     gopher_thresholds: dict[str, float] | None = None,
     c4_clean: bool = False,
+    quality_model: "QualityClassifier | None" = None,
+    min_quality_score: float | None = None,
     with_funnel: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full corpus build over ``docs`` (columns ``doc_id``,
@@ -90,6 +93,10 @@ def build_training_corpus(
         raise ValueError(
             "gopher_thresholds given without gopher_gate=True — the "
             "thresholds would be silently ignored")
+    if (quality_model is None) != (min_quality_score is None):
+        raise ValueError(
+            "quality_model and min_quality_score go together — the "
+            "classifier gate needs both the model and its threshold")
     missing = {"doc_id", "source", "text"} - set(docs.columns)
     if missing:
         raise ValueError(f"docs is missing columns: {sorted(missing)}")
@@ -164,6 +171,20 @@ def build_training_corpus(
         gated = gated.join(keep, "doc_id",
                            "left_semi").localCheckpoint(eager=True)
         funnel.append(("gopher_gate", gated))
+
+    # 4a2. optional trained-classifier gate (the GPT-3/LLaMA recipe's
+    # third filter family: a fastText-style model scored by one
+    # broadcast join, gate on sigmoid score). Same fan-out boundary
+    # policy as the neighbouring gates.
+    if quality_model is not None:
+        keep = (
+            quality_scores(gated, quality_model)
+            .where(F.col("quality") >= F.lit(float(min_quality_score)))
+            .select("doc_id")
+        )
+        gated = gated.join(keep, "doc_id",
+                           "left_semi").localCheckpoint(eager=True)
+        funnel.append(("classifier_gate", gated))
 
     # 4b. optional CCNet-style perplexity gate. Default LM: trained on
     # the gated corpus itself (self-perplexity flags the outliers); a

@@ -328,3 +328,39 @@ def test_build_sft_corpus_funnel(spark):
     assert funnel["input"] == (2, "conversations")
     assert funnel["conversation_dedup"] == (1, "conversations")
     assert funnel["target_windows"] == (1, "turns")
+
+
+def test_corpus_build_classifier_gate(spark):
+    """The trained-classifier gate drops what the model scores low:
+    train on clean-vs-spam, then build with the model + threshold."""
+    from sparkocr.corpus import build_training_corpus
+    from sparkocr.lm import train_quality_classifier
+
+    def mk(i, kind):
+        if kind == "clean":
+            t = (f"the morning market number {i} opens with steady "
+                 f"trade and the boats of day {i} move along the river "
+                 f"while vendors set out fruit bread and cloth")
+        else:
+            t = (f"win prize {i} click click claim bonus claim prize "
+                 f"win win bonus {i} free free claim click prize bonus "
+                 f"win claim free bonus click prize win")
+        return t
+
+    pos = spark.createDataFrame(
+        [(i, mk(i, "clean")) for i in range(12)], "id long, text string")
+    neg = spark.createDataFrame(
+        [(i, mk(i, "spam")) for i in range(12)], "id long, text string")
+    model = train_quality_classifier(pos, neg, n_iters=12)
+
+    docs = spark.createDataFrame(
+        [(i, "web", mk(i, "clean")) for i in range(4)]
+        + [(100 + i, "web", mk(50 + i, "spam")) for i in range(2)],
+        "doc_id long, source string, text string")
+    out = build_training_corpus(
+        docs, min_quality_tokens=5, stop_ratio_band=(0.0, 1.0),
+        quality_model=model, min_quality_score=0.5)
+    ids = {r["doc_id"] for r in out["documents"].collect()}
+    assert ids and all(i < 100 for i in ids), ids
+    with pytest.raises(ValueError, match="go together"):
+        build_training_corpus(docs, quality_model=model)
