@@ -210,6 +210,11 @@ def build_training_corpus(
     keepers = exact_dedup_groups(gated, "doc_id").select(
         F.col("keeper").alias("doc_id"))
     kept = gated.join(keepers, "doc_id", "left_semi")
+    if with_funnel:
+        # the funnel count materializes this boundary anyway; keeping
+        # the checkpoint lets the next stage and the final outputs
+        # reuse it instead of re-running the dedup join per consumer
+        kept = kept.localCheckpoint(eager=True)
     funnel.append(("exact_dedup", kept))
 
     # 6. benchmark decontamination (drop any doc sharing an n-gram
@@ -220,6 +225,8 @@ def build_training_corpus(
         ).select("doc")
         kept = kept.join(contaminated.withColumnRenamed("doc", "doc_id"),
                          "doc_id", "left_anti")
+        if with_funnel:
+            kept = kept.localCheckpoint(eager=True)
         funnel.append(("decontamination", kept))
 
     # 7. mixture draw on (id, source, n_tokens) rows only
@@ -227,6 +234,8 @@ def build_training_corpus(
         chosen = mix_corpus(kept, mixture_weights, total_tokens).select(
             "doc_id")
         kept = kept.join(chosen, "doc_id", "left_semi")
+        if with_funnel:
+            kept = kept.localCheckpoint(eager=True)
         funnel.append(("mixture", kept))
 
     documents = kept
@@ -246,15 +255,17 @@ def build_training_corpus(
     out = {"documents": documents, "packed": packed, "stats": stats}
     if with_funnel:
         # the retention funnel every production build reports: one
-        # count per stage boundary. Stage frames up to the quality gate
-        # are localCheckpoint'ed, so these are scans of materialized
-        # data plus the final semi/anti joins — an explicit, opt-in
-        # cost (it runs one action per stage)
+        # count per stage boundary. Every stage frame except the raw
+        # input is localCheckpoint'ed (the gates always, the tail
+        # stages above when the funnel is on), so each count scans
+        # materialized data; the input count scans the caller's plan
+        # once — deliberately not checkpointed, it may be the raw
+        # corpus
         spark = docs.sparkSession
         out["funnel"] = spark.createDataFrame(
-            [(i, name, int(frame.count()))
+            [(i, name, int(frame.count()), "documents")
              for i, (name, frame) in enumerate(funnel)],
-            "stage_idx int, stage string, n_docs long")
+            "stage_idx int, stage string, n long, unit string")
     return out
 
 
@@ -290,7 +301,11 @@ def build_sft_corpus(
     - ``pairs``: the materialized (context array, target) training
       pairs — the only text-carrying output;
     - ``stats``: per-role turn/token counts of the surviving
-      conversations.
+      conversations;
+    - ``funnel`` (only with ``with_funnel=True``): per-stage retention
+      (stage_idx, stage, n, unit) — conversations surviving each stage
+      plus the final target-window count, the same schema as
+      :func:`build_training_corpus`'s funnel.
 
     Scale shape: turn text moves exactly once (into ``pairs``);
     validation, dedup, decontamination keys, and windowing all run on
@@ -332,6 +347,11 @@ def build_sft_corpus(
             .select(F.col("conv").alias("conv_id"))
         )
         base = base.join(keepers, "conv_id", "left_semi")
+        if with_funnel:
+            # counting materializes it anyway — keep the checkpoint so
+            # windows/pairs/stats reuse it rather than re-running the
+            # dedup join
+            base = base.localCheckpoint(eager=True)
         funnel.append(("conversation_dedup", base))
 
     if decontamination_probes:
@@ -351,6 +371,8 @@ def build_sft_corpus(
             .distinct()
         )
         base = base.join(hit, "conv_id", "left_anti")
+        if with_funnel:
+            base = base.localCheckpoint(eager=True)
         funnel.append(("decontamination", base))
 
     # materialized HERE so the returned windows and the pair assembly

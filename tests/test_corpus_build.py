@@ -297,7 +297,7 @@ def test_corpus_build_funnel(spark):
     out = build_training_corpus(docs, min_quality_tokens=5,
                                 stop_ratio_band=(0.0, 1.0),
                                 with_funnel=True)
-    funnel = [(r["stage"], r["n_docs"])
+    funnel = [(r["stage"], r["n"])
               for r in out["funnel"].orderBy("stage_idx").collect()]
     stages = [s for s, _ in funnel]
     assert stages == ["input", "boilerplate_strip", "substr_dedup",
