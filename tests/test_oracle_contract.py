@@ -123,3 +123,17 @@ def test_full_suite_completes_inside_wall_budget():
         f"correctness mirror failed after {wall:.0f}s:\n{tail}\n"
         f"{proc.stderr[-1000:]}")
     assert "0 fail" in proc.stdout, tail
+
+
+def test_previously_unverified_queries_stay_first():
+    """The 8 queries the round-2 driver never reached are deliberately
+    ordered FIRST in queries() so a budget-truncated harness always
+    covers them; an accidental reorder would silently demote them."""
+    first8 = list(entrymod.queries())[:8]
+    expected = {
+        "layout_regions_documents", "extract_route_documents",
+        "orders_by_month", "media_image_features", "media_video_frames",
+        "quality_filter_documents", "clean_corpus_pipeline",
+        "corpus_build_v2",
+    }
+    assert set(first8) == expected, first8
