@@ -92,3 +92,41 @@ def test_engine_extract_batch_invariant(spark, tiny_batches):
         return eng.extract(df).select("conv_id", "turn_idx", "full_text")
 
     assert _run_at(spark, 4, build) == _run_at(spark, 10000, build)
+
+
+def test_sft_windows_whale_conversation(spark):
+    """The searchsorted kernel's O(n log n) per-conversation claim,
+    exercised: one 60k-turn whale conversation windows in seconds, and
+    spot positions match the definition."""
+    import time
+
+    from sparkocr.analysis import sft_context_windows
+
+    n = 60_000
+    turns = spark.range(n).select(
+        F.lit("whale").alias("conv_id"),
+        F.col("id").alias("turn_idx"),
+        F.when(F.col("id") % 2 == 1, "assistant").otherwise("user")
+        .alias("role"),
+        F.lit("x").alias("text"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+    )
+    t = time.time()
+    out = sft_context_windows(turns, 100).collect()
+    wall = time.time() - t
+    assert len(out) == n // 2
+    assert wall < 60, f"whale conversation took {wall:.1f}s"
+    # spot-check one window against the definition: tokens of
+    # ctx_start..turn-1 fit 100, and extending one turn earlier breaks
+    toks = [(i % 7) + 1 for i in range(n)]
+    pre = [0]
+    for x in toks:
+        pre.append(pre[-1] + x)
+    by_turn = {r["turn"]: r for r in out}
+    for t_idx in (1, 999, 35_001, n - 1):
+        r = by_turn[t_idx]
+        s = r["ctx_start"]
+        assert pre[t_idx] - pre[s] <= 100
+        if s > 0:
+            assert pre[t_idx] - pre[s - 1] > 100
+        assert r["ctx_n_tokens"] == pre[t_idx] - pre[s]
