@@ -482,6 +482,39 @@ def url_domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def canonicalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level text canonicalization — the normalize-before-dedup
+    step (precomposed vs combining Unicode forms, CRLF vs LF, HTML
+    entities would otherwise defeat exact/hash dedup) — reusing the
+    extraction engine's OWN R1 canonicalizer byte-for-byte
+    (:func:`sparkocr.recognize.canonicalize`: NFC, newline/tab folding,
+    entity decode) minus its recognition-only 48-line resample, so text
+    that went through the engine and text normalized here agree
+    exactly. Arrow-batched narrow map (the per-string Python is the
+    same budget the engine already spends per turn); NULL stays NULL.
+    Replaces ``text_col`` in place unless ``out_col`` is given."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def canon(texts):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        from sparkocr.recognize import canonicalize
+
+        # max_lines beyond any document disables the resample branch
+        return pd.Series([
+            None if t is None else canonicalize(t, max_lines=1 << 62)
+            for t in texts
+        ])
+
+    return df.withColumn(out_col or text_col, canon(F.col(text_col)))
+
+
 def strip_boilerplate_lines(
     df: DataFrame,
     key_col: str,

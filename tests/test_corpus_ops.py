@@ -1208,3 +1208,34 @@ def test_gopher_quality_filter_matches_reference(spark):
            for r in gopher_quality_filter(df, "doc_id").collect()}
     for d, text in rows:
         assert got[d] == sorted(ref(text)), (d, got[d], ref(text), text)
+
+
+def test_canonicalize_text_matches_engine_and_enables_dedup(spark):
+    from sparkocr.analysis import canonicalize_text, exact_dedup_groups
+    from sparkocr.recognize import canonicalize
+
+    # é (combining) vs é (precomposed); CRLF; entity
+    rows = [
+        (1, "café menu &amp; prices\r\nline two"),
+        (2, "café menu & prices\nline two"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in canonicalize_text(df).collect()}
+    assert out[1] == out[2] == "café menu & prices\nline two"
+    assert out[3] is None
+    # byte-parity with the engine's canonicalizer (no resample)
+    assert out[1] == canonicalize(rows[0][1], max_lines=1 << 62)
+    # and exact dedup now sees 1 and 2 as duplicates
+    groups = exact_dedup_groups(
+        canonicalize_text(df.where(F.col("text").isNotNull())),
+        "doc_id").collect()
+    assert {r["keeper"] for r in groups} == {1}
+    # long documents are NOT resampled (the engine's 48-line cap is
+    # recognition-only)
+    tall = spark.createDataFrame(
+        [(9, "\n".join(f"line {i}" for i in range(200)))],
+        "doc_id long, text string")
+    [r] = canonicalize_text(tall).collect()
+    assert r["text"].count("\n") == 199
