@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from sparkocr.analysis import (
     c4_line_filters,
+    canonicalize_text,
     dedup_paragraphs,
     dedup_substrings,
     exact_dedup_groups,
@@ -53,6 +54,7 @@ def build_training_corpus(
     gopher_gate: bool = False,
     gopher_thresholds: dict[str, float] | None = None,
     c4_clean: bool = False,
+    canonicalize: bool = False,
     quality_model: "QualityClassifier | None" = None,
     min_quality_score: float | None = None,
     with_funnel: bool = False,
@@ -103,6 +105,13 @@ def build_training_corpus(
 
     sources = docs.select("doc_id", "source")
     funnel: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    # 0. optional normalize-before-everything (NFC/CRLF/entities —
+    # un-normalized variants would defeat every hash-keyed dedup
+    # below); a pure narrow rewrite, no funnel entry since it never
+    # drops a doc
+    if canonicalize:
+        docs = canonicalize_text(docs)
 
     # 1. cross-corpus boilerplate lines (hot-line anti-join)
     stripped = (

@@ -364,3 +364,23 @@ def test_corpus_build_classifier_gate(spark):
     assert ids and all(i < 100 for i in ids), ids
     with pytest.raises(ValueError, match="go together"):
         build_training_corpus(docs, quality_model=model)
+
+
+def test_corpus_build_canonicalize_stage(spark):
+    """canonicalize=True makes Unicode-variant duplicates collapse in
+    the exact-dedup stage (they survive as distinct docs without it)."""
+    from sparkocr.corpus import build_training_corpus
+
+    body = ("the morning market opens with steady trade and the boats "
+            "move along the river while vendors set out fruit and cloth")
+    rows = [
+        (1, "web", "café " + body),          # precomposed é
+        (2, "web", "café " + body),         # combining acute
+    ]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, source string, text string")
+    kw = dict(min_quality_tokens=5, stop_ratio_band=(0.0, 1.0))
+    without = build_training_corpus(docs, **kw)["documents"].count()
+    with_c = build_training_corpus(docs, canonicalize=True,
+                                   **kw)["documents"].count()
+    assert without == 2 and with_c == 1
