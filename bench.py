@@ -357,8 +357,13 @@ def write_baseline_md(result: dict) -> None:
             f"**{result['turns_per_sec_2exec']} turns/sec**",
             f"- 4N = 8 executors ({8 * result['scaling_executor_cores']} CPUs): "
             f"**{result['turns_per_sec_8exec']} turns/sec**",
-            f"- scaling efficiency (tps_4N/tps_N)/4 = "
+            f"- scaling efficiency, per-executor self-ratio (the "
+            f"cluster-faithful estimator — see SCALING_NOTES.md): "
             f"**{result['scaling_efficiency']}** (target ≥ 0.8)",
+            f"- scaling efficiency, wall-based (tps_4N/tps_N)/4: "
+            f"**{result.get('scaling_efficiency_wall', 'n/a')}** "
+            f"(noisier: static shards pay the straggler penalty a real "
+            f"scheduler avoids)",
             "",
             "Wider-executor points and the single-box memory-bandwidth "
             "ceiling they hit are documented in `BENCH/SCALING_NOTES.md`.",

@@ -41,25 +41,20 @@ def main() -> int:
                    help="run build_sft_corpus over transcript turns")
     args = p.parse_args()
 
-    from pyspark.sql import SparkSession
-
-    from sparkocr.session import _ENGINE_CONF
-
-    b = SparkSession.builder.appName("sparkocr-corpus-build")
-    for k, v in _ENGINE_CONF.items():
-        if k != "spark.driver.memory":
-            b = b.config(k, v)
-    spark = b.getOrCreate()
-
     from sparkocr.corpus import build_sft_corpus, build_training_corpus
 
     build = build_sft_corpus if args.sft else build_training_corpus
     conf: dict = {}
     if args.config:
+        # validate BEFORE paying session startup — a config typo should
+        # fail in milliseconds, not after the cluster spins up
         with open(args.config) as f:
             conf = json.load(f)
+        # object-valued params (a trained model, an LM) cannot come
+        # from JSON — reject them up front rather than failing deep in
+        # a scoring join with a dict where a model was expected
         accepted = set(inspect.signature(build).parameters) - {
-            "docs", "turns"}
+            "docs", "turns", "quality_model", "ppl_lm"}
         unknown = set(conf) - accepted
         if unknown:
             raise SystemExit(
@@ -67,6 +62,9 @@ def main() -> int:
                 f"{sorted(accepted)}")
     conf["with_funnel"] = True
 
+    from sparkocr.session import build_submit_session
+
+    spark = build_submit_session("sparkocr-corpus-build")
     df = spark.read.parquet(args.input)
     out = build(df, **conf)
     for name, frame in out.items():

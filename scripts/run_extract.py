@@ -25,17 +25,12 @@ from pyspark.sql import functions as F
 
 
 def build_session(app: str) -> SparkSession:
-    # no .master() here — spark-submit / cluster manager decides. Engine
-    # tuning comes from the ONE shared config dict so the cluster path
-    # can never drift from the local/bench/test entry points.
-    from sparkocr.session import _ENGINE_CONF
+    # delegate to the ONE shared builder in sparkocr.session so the
+    # cluster path can never drift from the local/bench/test entry
+    # points (or from run_corpus_build.py's)
+    from sparkocr.session import build_submit_session
 
-    b = SparkSession.builder.appName(app)
-    for k, v in _ENGINE_CONF.items():
-        if k == "spark.driver.memory":
-            continue  # driver memory is spark-submit's decision
-        b = b.config(k, v)
-    return b.getOrCreate()
+    return build_submit_session(app)
 
 
 def main() -> int:

@@ -506,9 +506,8 @@ def canonicalize_text(
 
         from sparkocr.recognize import canonicalize
 
-        # max_lines beyond any document disables the resample branch
         return pd.Series([
-            None if t is None else canonicalize(t, max_lines=1 << 62)
+            None if t is None else canonicalize(t, max_lines=None)
             for t in texts
         ])
 

@@ -47,7 +47,7 @@ def _entity_sub(m: re.Match) -> str:
     return _ENTITY_MAP[g]
 
 
-def canonicalize(text: str, max_lines: int = 48) -> str:
+def canonicalize(text: str, max_lines: int | None = 48) -> str:
     """R1 preprocess: the text analog of "resize to height 48 keeping
     aspect" (rec.rs:228-231) — NFC normalize, fold newlines/tabs, decode
     entities, and if taller than ``max_lines`` lines, resample lines
@@ -62,7 +62,9 @@ def canonicalize(text: str, max_lines: int = 48) -> str:
         t = _ENTITY_RE.sub(_entity_sub, t)
     lines = t.split("\n")
     h = len(lines)
-    if h > max_lines:
+    # max_lines=None: no resample (the corpus-normalization mode —
+    # resampling is a recognition-geometry concern only)
+    if max_lines is not None and h > max_lines:
         lines = [lines[(i * h) // max_lines] for i in range(max_lines)]
         t = "\n".join(lines)
     return t

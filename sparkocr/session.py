@@ -40,6 +40,23 @@ _ENGINE_CONF = {
 }
 
 
+def build_submit_session(app: str):
+    """Session builder for spark-submit entry points: no ``.master()``
+    (the cluster manager decides) and no driver-memory override
+    (spark-submit's decision); everything else comes from the ONE
+    shared engine config dict so the cluster path can never drift from
+    the local/bench/test entry points. THE single home of this policy —
+    both ``scripts/run_extract.py`` and ``scripts/run_corpus_build.py``
+    call it."""
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app)
+    for k, v in _ENGINE_CONF.items():
+        if k != "spark.driver.memory":
+            b = b.config(k, v)
+    return b.getOrCreate()
+
+
 def get_spark(
     cores: int | str | None = None,
     app_name: str = "sparkocr",

@@ -28,11 +28,11 @@ def _collect_sorted(df):
 
 
 def _run_at(spark, batch_size, build):
+    # restoration is the tiny_batches fixture's job — a second restore
+    # path here would leak a wrong value into the session for tests
+    # that forget the fixture
     spark.conf.set(BATCH_KEY, str(batch_size))
-    try:
-        return _collect_sorted(build())
-    finally:
-        spark.conf.set(BATCH_KEY, "10000")
+    return _collect_sorted(build())
 
 
 def test_window_hashes_batch_invariant(spark, tiny_batches):
