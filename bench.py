@@ -140,28 +140,40 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _wait_for_quiet(max_wait_s: int = 120, threshold: float = 2.0) -> None:
+def _load1() -> float | None:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return None
+
+
+def _wait_for_quiet(max_wait_s: int = 120,
+                    threshold: float = 2.0) -> float | None:
     """This shared box carries bursty external load (observed 1-min
     load-avg spikes to 8+ for minutes at a time, inflating the
     contention-sensitive dedup queries 2-5×). Measurement hygiene: wait
     for the 1-minute load average to fall below ``threshold`` before
     timing, bounded to ``max_wait_s`` so a busy box still produces a
-    (flagged) result."""
+    (flagged) result. Returns the residual load at the moment timing
+    starts — surfaced in the JSON so every BENCH artifact records the
+    conditions it ran under (the pinned BASELINE.md demands load < 1;
+    a higher residual flags the comparison as conditions-skewed)."""
     t0 = time.time()
+    load1 = _load1()
     while time.time() - t0 < max_wait_s:
-        try:
-            with open("/proc/loadavg") as f:
-                load1 = float(f.read().split()[0])
-        except OSError:
-            return
+        load1 = _load1()
+        if load1 is None:
+            return None
         if load1 < threshold:
             if time.time() - t0 > 1:
                 _log(f"bench: waited {time.time() - t0:.0f}s for quiet "
                      f"(load {load1:.2f})")
-            return
+            return load1
         time.sleep(10)
-    _log("bench: proceeding despite load (waited max); timings may be "
-         "inflated by external activity")
+    _log(f"bench: proceeding despite load {load1} (waited max); timings "
+         "may be inflated by external activity")
+    return load1
 
 
 def run_headline() -> tuple[dict[str, float], float]:
@@ -373,7 +385,7 @@ def write_baseline_md(result: dict) -> None:
 
 
 def main() -> None:
-    _wait_for_quiet()
+    load_start = _wait_for_quiet()
     timings, total = run_headline()
     result = {
         "metric": "headline query wall time (sum) + extraction scaling",
@@ -383,6 +395,11 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "sf_dir": SF_DIR,
         "cpus": CPUS,
+        # measurement conditions: 1-min load average when timing began /
+        # ended — the pinned BASELINE.md is a quiet-box (<1) reference,
+        # so a loaded run is visibly non-comparable in the artifact
+        "load1_at_start": load_start,
+        "load1_at_end": _load1(),
     }
     if RUN_SCALING:
         try:

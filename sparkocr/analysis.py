@@ -1094,7 +1094,11 @@ def pack_sequences(
 
     Columns: (group, shard, bin, pos, id, n_tokens, oversize). ``bin``
     is dense per (group, shard); ``pos`` is the document's position
-    inside its bin."""
+    inside its bin. ``id`` keeps the INPUT column's type untouched
+    (string doc ids pack fine — the deterministic order is ascending
+    ``id`` under the column's own ordering; casting to long here would
+    crash ANSI runs or silently null string keys, the mix_corpus
+    lesson)."""
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
     from pyspark.sql.types import (IntegerType, LongType, StringType,
@@ -1105,7 +1109,7 @@ def pack_sequences(
         StructField("shard", IntegerType()),
         StructField("bin", LongType()),
         StructField("pos", IntegerType()),
-        StructField("id", LongType()),
+        StructField("id", df.schema[id_col].dataType),
         StructField("n_tokens", LongType()),
         StructField("oversize", IntegerType()),
     ])
@@ -1135,7 +1139,7 @@ def pack_sequences(
             "shard": np.repeat(np.int32(key[1]), n),
             "bin": bins,
             "pos": pos,
-            "id": pdf["id"].to_numpy(dtype=np.int64),
+            "id": pdf["id"].to_numpy(),
             "n_tokens": toks,
             "oversize": (toks > max_tokens).astype(np.int32),
         })
@@ -1144,7 +1148,8 @@ def pack_sequences(
         F.col(group_col).cast("string").alias("group"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
         .cast("int").alias("shard"),
-        F.col(id_col).cast("long").alias("id"),
+        # id untouched: type preserved end to end (see docstring)
+        F.col(id_col).alias("id"),
         F.col(token_col).cast("long").alias("n_tokens"),
     )
     return narrow.groupBy("group", "shard").applyInPandas(pack, out_schema)

@@ -34,7 +34,15 @@ def _sql_double_array(vals) -> str:
     round-trip decimal and Java's ``Double.parseDouble`` returns the
     identical IEEE-754 double (bit-equality asserted in
     tests/test_ann.py), so plans, results, and committed pins are
-    unchanged."""
+    unchanged. Non-finite elements are rejected up front: ``repr`` would
+    render them as ``nanD``/``infD``, which fails SQL parsing with an
+    opaque error far from the caller's bad input."""
+    for i, v in enumerate(vals):
+        if not math.isfinite(float(v)):
+            raise ValueError(
+                f"query vector element {i} is {float(v)!r} — cosine "
+                "against a non-finite vector is undefined; clean the "
+                "vector before querying")
     return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
 
 

@@ -282,11 +282,38 @@ class SparkOcrEngine:
 
 def with_rank(df: DataFrame, conv_col: str = "conv_id",
               turn_col: str = "turn_idx") -> DataFrame:
-    """Window-ranked stable ordering: row_number over (conv_id, turn_idx)
-    — the ordering invariant every comparison and ordered sink uses
-    (the index-restoring reassembly analog, efficient_cropping.rs:186-202)."""
-    w = Window.orderBy(conv_col, turn_col)
-    return df.withColumn("rank", F.row_number().over(w))
+    """Dense global 1-based rank under (conv_id, turn_idx) order — the
+    ordering invariant every comparison and ordered sink uses (the
+    index-restoring reassembly analog, efficient_cropping.rs:186-202).
+
+    Computed WITHOUT a global single-partition window: the input goes
+    through :func:`ordered`'s range partitioning, each task ranks its
+    own partition, and the tiny per-partition row counts (one row per
+    partition) fold into cumulative offsets that are broadcast back —
+    rank = partition offset + local row_number. Range partitioning
+    puts every key of partition p before every key of partition p+1,
+    so the stitched rank equals the global row_number; ties on the
+    full key get an arbitrary (but stable per run) order, exactly like
+    the single-window form this replaces."""
+    rp = ordered(df, conv_col, turn_col).withColumn(
+        "__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid").orderBy(conv_col, turn_col)
+    local = rp.withColumn("__lrn", F.row_number().over(w_local))
+    # one row per partition: the offset table is partition-count-sized
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("__pid").agg(F.count("*").alias("__n"))
+        .withColumn("__off",
+                    F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn("rank",
+                    (F.col("__off") + F.col("__lrn")).cast("int"))
+        .drop("__pid", "__lrn", "__off")
+    )
 
 
 def ordered(df: DataFrame, conv_col: str = "conv_id",

@@ -22,11 +22,12 @@ vocabularies, merge policies) gets the same create/use/destroy contract:
 | ``rocr_version``                    | ``version()`` (capi.rs:598) |
 
 Status codes are the reference's ``RocrStatus`` enum verbatim
-(capi.rs:14-23), with the same edge semantics: handle 0 or an unknown
-handle → ``INVALID_PARAM`` from ``destroy_engine`` (capi.rs:232-243)
-and ``NOT_INITIALIZED`` from the recognize verbs (capi.rs:260-276);
-creation never raises — it returns handle 0 exactly like the C entry
-points (capi.rs:117-125).
+(capi.rs:14-23), with the same edge semantics: handle 0 →
+``INVALID_PARAM`` from EVERY verb (capi.rs:254-260 rejects it before
+the registry lookup); an unknown non-zero handle → ``NOT_INITIALIZED``
+from the recognize verbs (capi.rs:260-276) but ``INVALID_PARAM`` from
+``destroy_engine`` (capi.rs:232-243); creation never raises — it
+returns handle 0 exactly like the C entry points (capi.rs:117-125).
 
 Shutdown parity (P8, engine.rs:470-473 + Drop at engine.rs:600-610):
 destroying a handle severs the engine's registry reference; the

@@ -159,6 +159,20 @@ def test_pack_rejects_bad_budget(spark):
         pack_sequences(_df(spark, [(0, "a", 1)]), max_tokens=0)
 
 
+def test_pack_string_ids_survive(spark):
+    """A string-keyed corpus packs without casting/nulling the id (the
+    round-3 advice finding: the old long cast crashed ANSI runs or fed
+    NaN to the kernel); output id type mirrors the input's, and packing
+    order is ascending string id."""
+    rows = [("doc-b", "a", 4), ("doc-a", "a", 4), ("doc-c", "a", 9)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tokens long")
+    out = pack_sequences(df, max_tokens=10)
+    assert dict(out.dtypes)["id"] == "string"
+    got = {r["id"]: (r["bin"], r["pos"]) for r in out.collect()}
+    assert got == {"doc-a": (0, 0), "doc-b": (0, 1), "doc-c": (1, 0)}
+
+
 # ---------------------------------------------------------------------------
 # semantic (embedding-cluster) near-dup — SemDeDup composition
 
