@@ -200,11 +200,22 @@ def gopher_repetition_signals(
     and tests them against an independent pure-Python reference.
 
     Execution: every signal is doc-local, so the whole battery is ONE
-    narrow Arrow-batched pass — no explode, no shuffle, nothing
-    leaves the row's partition (the per-doc Counter work happens
-    inside the Arrow batch, the same budget as the extraction engine's
-    mapInPandas). Null/empty text scores all-zero. Fractions round to
-    6 decimals."""
+    narrow Arrow-batched pass — no explode, no shuffle, nothing leaves
+    the row's partition. Inside the pass the n-gram work is
+    hash-vectorized (the round-3 kernel materialized Python token
+    tuples and Counters per n — ~9 full tuple-hash passes over a whale
+    doc): each token is hashed ONCE (pandas' fixed-key vectorized
+    hash), one Karp-Rabin prefix transform is shared by every n (the
+    same O(n) renormalized-cumsum device as
+    :func:`_rolling_window_hashes`), and per n only a subtract/multiply
+    plus ``np.unique`` counting remains; duplicate-window coverage is a
+    bincount range-mark instead of a Python loop. Counting by 64-bit
+    window hash can merge two distinct grams with probability
+    ~(windows²)·2⁻⁶⁴ — the same accepted class as every hash-keyed
+    dedup here; the top-gram TIE-BREAK (max count, then smallest gram)
+    still compares the few tied candidates as real token tuples, so the
+    published deterministic order is preserved exactly. Null/empty text
+    scores all-zero. Fractions round to 6 decimals."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -235,36 +246,62 @@ def gopher_repetition_signals(
             vals.append(round(extra_chars / tot_chars, 6)
                         if tot_chars else 0.0)
         toks = text.split(" ")
-        tok_lens = [len(t) for t in toks]
-        tot = sum(tok_lens)
-        # one n's gram sequence alive at a time (a whale doc would pay
-        # |top_ns ∪ dup_ns| × n-gram tuples of peak memory otherwise),
-        # shared between the top-gram and coverage signals when the
-        # same n appears in both
+        n_toks = len(toks)
+        tok_lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                               count=n_toks)
+        tot = int(tok_lens.sum())
+        # hash every token ONCE (vectorized, fixed-key — deterministic
+        # across processes), then share one Karp-Rabin prefix transform
+        # across every n: h_i(n) = (Q_{i+n} − Q_i)·A^{i+n-1}
+        tok_h = pd.util.hash_array(np.asarray(toks, dtype=object))
+        with np.errstate(over="ignore"):
+            pow_a = np.empty(n_toks, dtype=np.uint64)
+            pow_a[0] = 1
+            if n_toks > 1:
+                np.cumprod(np.full(n_toks - 1, _KR_A, dtype=np.uint64),
+                           out=pow_a[1:])
+            pow_ainv = np.empty(n_toks, dtype=np.uint64)
+            pow_ainv[0] = 1
+            if n_toks > 1:
+                np.cumprod(np.full(n_toks - 1, _KR_AINV, dtype=np.uint64),
+                           out=pow_ainv[1:])
+            q = np.zeros(n_toks + 1, dtype=np.uint64)
+            np.cumsum(tok_h * pow_ainv, out=q[1:])
         top_vals: dict = {}
         dup_vals: dict = {}
         for n in sorted({*top_ns, *dup_ns}):
-            seq = [tuple(toks[i:i + n])
-                   for i in range(len(toks) - n + 1)]
-            grams = Counter(seq)
+            m = n_toks - n + 1
+            if m <= 0 or tot == 0:
+                if n in top_ns:
+                    top_vals[n] = 0.0
+                if n in dup_ns:
+                    dup_vals[n] = 0.0
+                continue
+            with np.errstate(over="ignore"):
+                h = (q[n:] - q[:-n]) * pow_a[n - 1:]
+            uniq_first, inv, counts = np.unique(
+                h, return_index=True, return_inverse=True,
+                return_counts=True)[1:]
             if n in top_ns:
-                if not grams or tot == 0:
+                cmax = int(counts.max())
+                if cmax < 2:
                     top_vals[n] = 0.0
                 else:
-                    # max count, then smallest gram — a total order
-                    g, c = min(grams.items(),
-                               key=lambda kv: (-kv[1], kv[0]))
-                    top_vals[n] = (
-                        round(c * sum(len(t) for t in g) / tot, 6)
-                        if c >= 2 else 0.0)
+                    # ties broken on the REAL gram tuples (usually one
+                    # candidate) — identical to the Counter-era order
+                    best = min(
+                        tuple(toks[j:j + n])
+                        for j in uniq_first[counts == cmax])
+                    top_vals[n] = round(
+                        cmax * sum(len(t) for t in best) / tot, 6)
             if n in dup_ns:
-                covered = [False] * len(toks)
-                for i, g in enumerate(seq):
-                    if grams[g] > 1:
-                        covered[i:i + n] = [True] * n
-                dup_vals[n] = (
-                    round(sum(l for l, cv in zip(tok_lens, covered)
-                              if cv) / tot, 6) if tot else 0.0)
+                starts = np.flatnonzero(counts[inv] > 1)
+                delta = (
+                    np.bincount(starts, minlength=n_toks + 1)
+                    - np.bincount(starts + n, minlength=n_toks + 1))
+                covered = np.cumsum(delta[:n_toks]) > 0
+                dup_vals[n] = round(
+                    int(tok_lens[covered].sum()) / tot, 6)
         return (vals + [top_vals[n] for n in top_ns]
                 + [dup_vals[n] for n in dup_ns])
 
