@@ -18,10 +18,11 @@ TABLES = ("part", "lineitem", "events", "documents", "embeddings")
 SUBSET = [
     "window_funcs_events",
     "interval_merge_events",
-    "posexplode_documents",
+    "posexplode_bigram_documents",
     "doc_metrics_documents",
     "lineitem_agg_stats",
-    "ann_cosine_topk",
+    "embed_topk_neardup_exact",
+    "lm_ppl_documents",
 ]
 
 

@@ -125,15 +125,22 @@ def test_full_suite_completes_inside_wall_budget():
     assert "0 fail" in proc.stdout, tail
 
 
-def test_previously_unverified_queries_stay_first():
-    """The 8 queries the round-2 driver never reached are deliberately
-    ordered FIRST in queries() so a budget-truncated harness always
-    covers them; an accidental reorder would silently demote them."""
-    first8 = list(entrymod.queries())[:8]
-    expected = {
-        "layout_regions_documents", "extract_route_documents",
-        "orders_by_month", "media_image_features", "media_video_frames",
-        "quality_filter_documents", "clean_corpus_pipeline",
-        "corpus_build_v2",
+def test_least_verified_queries_stay_first():
+    """The least-driver-verified queries are deliberately ordered FIRST
+    in queries() so a budget-truncated harness always covers them: the
+    six round-4 rotation queries (the LM/corpus family's first driver
+    rows), then the six merged/changed ones. An accidental reorder
+    would silently demote them behind long-green rows."""
+    order = list(entrymod.queries())
+    new_r4 = {
+        "gopher_c4_documents", "dedup_battery_documents",
+        "lm_ppl_documents", "lm_model_scores_documents",
+        "mix_pack_documents", "corpus_funnels",
     }
-    assert set(first8) == expected, first8
+    merged_r4 = {
+        "posexplode_bigram_documents", "embed_topk_neardup_exact",
+        "probe_url_counts_documents", "sample_split_documents",
+        "lsh_topk_neardup_embeddings", "doc_metrics_documents",
+    }
+    assert set(order[:6]) == new_r4, order[:6]
+    assert set(order[6:12]) == merged_r4, order[6:12]
