@@ -142,6 +142,7 @@ class SparkOcrEngine:
         )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .fastbatch import batch_extract_simple
             from .pipeline import extract_turn_auto
 
             for pdf in batches:
@@ -152,12 +153,21 @@ class SparkOcrEngine:
                 texts = pdf["__text__"].to_numpy(dtype=object)
                 roles = (pdf["__role__"].to_numpy(dtype=object)
                          if route_documents else None)
+                cleaned = [_clean_text(t) for t in texts]
+                # batch fast path: the common simple-turn shape decodes
+                # in one vectorized pass over the whole Arrow batch
+                # (byte-identical to the per-turn path — differential-
+                # tested); residue rows fall through below. Valid under
+                # route_documents too: eligibility excludes \f, so the
+                # router always lands on extract_turn for these rows.
+                fast = batch_extract_simple(cleaned, cfg)
                 for i in range(n):
-                    if route_documents:
-                        r = extract_turn_auto(
-                            _clean_text(texts[i]), roles[i], cfg)
-                    else:
-                        r = extract_turn(_clean_text(texts[i]), cfg)
+                    r = fast[i]
+                    if r is None:
+                        if route_documents:
+                            r = extract_turn_auto(cleaned[i], roles[i], cfg)
+                        else:
+                            r = extract_turn(cleaned[i], cfg)
                     blocks_col.append([b.__dict__ for b in r.blocks])
                     ftext_col.append(r.full_text)
                     nb_col[i] = len(r.blocks)

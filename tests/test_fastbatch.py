@@ -1,0 +1,128 @@
+"""Differential suite for the Arrow-batch fast path (fastbatch.py):
+for every input, either the batch result is byte-identical to
+pipeline.extract_turn (text, confidence BITS, spans, geometry, block
+type) or the row is declared ineligible (None) and falls back. Same
+pattern as tests/test_batch_invariance.py."""
+
+import random
+
+import pytest
+
+from sparkocr.config import DEFAULT_CONFIG, FLAGSHIP_CONFIG
+from sparkocr.fastbatch import batch_extract_simple
+from sparkocr.pipeline import extract_turn
+
+
+def _assert_matches(texts, config=FLAGSHIP_CONFIG, min_eligible=None):
+    got = batch_extract_simple(list(texts), config)
+    n_fast = 0
+    for t, r in zip(texts, got):
+        if r is None:
+            continue
+        n_fast += 1
+        want = extract_turn(t, config)
+        assert r.error_code == want.error_code, t
+        assert r.full_text == want.full_text, t
+        assert len(r.blocks) == len(want.blocks), t
+        for a, b in zip(r.blocks, want.blocks):
+            assert a == b, (t, a, b)  # frozen dataclass: bitwise fields
+    if min_eligible is not None:
+        assert n_fast >= min_eligible, (n_fast, min_eligible)
+    return n_fast
+
+
+def test_simple_turns_match_and_take_the_fast_path():
+    texts = [
+        "hello world, this is a plain chat message.",
+        "   leading and trailing whitespace   ",
+        "tabs\tbecome\tspaces here ok",
+        "punctuation!!! runs??? collapse... yes.",
+        "短い日本語のメッセージですがこれはテストです",
+        "mixed 英語 and 日本語 with punct、。！",
+        "a _ b _ c underscores are dropped chars",
+        "emoji 😀😀 are low-confidence and dropped here",
+        "x" * 2000,
+        "a b",            # too narrow -> empty
+        "",               # empty -> empty
+        "      ",         # all whitespace -> empty
+        "[PAGE 3]",       # boiler -> empty
+        "=== PAGE 7 ===",  # boiler -> empty
+        "normal line with = equals sign stays",
+        "entities &amp; stay simple &quot;quoted&quot;",
+    ]
+    _assert_matches(texts, min_eligible=len(texts))
+
+
+def test_ineligible_shapes_fall_back():
+    texts = [
+        None,
+        float("nan"),  # engine._clean_text maps to None before the call
+        "two\nlines",
+        "carriage\rreturn",
+        "form\ffeed",
+        "<b>markup</b>",
+        "ansi \x1b[31mred\x1b[0m",
+        "entity-minted markup &lt;script&gt; stays exact",
+    ]
+    got = batch_extract_simple(
+        [t if isinstance(t, str) else None for t in texts], FLAGSHIP_CONFIG)
+    # None/ineligible rows must all be None (fallback), never a result
+    assert all(r is None for r in got[:7])
+    # the &lt; row decodes to '<' in canon — must ALSO fall back
+    assert got[7] is None
+
+
+def test_randomized_against_per_turn(seed=11, n=400):
+    rng = random.Random(seed)
+    alphabet = (
+        list("abcdefgh XYZ 0123456789") + list(".,!?;:、。") + ["  ", "\t"]
+        + ["_", "~", "€", "😀", "&amp;", "&#65;", "&#10;", "[", "=", "]"]
+        + ["la ", "PAGE ", "===", "\x07"]
+    )
+    texts = []
+    for _ in range(n):
+        k = rng.randint(0, 40)
+        texts.append("".join(rng.choice(alphabet) for _ in range(k)))
+    # every one of these is single-line/markup-free unless &#10; or &lt;
+    # style entities fired — both covered: match-or-fallback is asserted
+    # per row, and most rows must actually take the fast path
+    n_fast = _assert_matches(texts, min_eligible=int(n * 0.6))
+    assert n_fast <= n
+
+
+def test_restricted_dictionary_and_threshold_configs():
+    texts = [
+        "hello world restricted vocab test",
+        "punct only ... !!! ,,,",
+        "12345 67890 digits",
+    ]
+    vocab = tuple("helo wrd.!,")  # tiny dictionary: most chars blank out
+    cfg = DEFAULT_CONFIG.with_dictionary(vocab)
+    _assert_matches(texts, cfg, min_eligible=3)
+    cfg2 = DEFAULT_CONFIG.with_min_score(1.0)  # everything fails -> ""
+    _assert_matches(texts, cfg2, min_eligible=3)
+
+
+def test_real_corpus_turns_all_match():
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT text FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')").fetchall()
+    texts = [r[0] for r in rows]
+    # the synthetic corpus is single-line and markup-free: every row
+    # must be eligible AND byte-identical
+    _assert_matches(texts, min_eligible=len(texts))
+
+
+@pytest.mark.parametrize("chunk", [1, 7, 64])
+def test_batch_split_invariance(chunk):
+    """Splitting one batch into smaller batches cannot change any row's
+    result (the Arrow-batch-size invariance the engine guarantees)."""
+    texts = [f"row {i} with some punct... and text!" for i in range(100)]
+    whole = batch_extract_simple(texts, FLAGSHIP_CONFIG)
+    parts = []
+    for s in range(0, len(texts), chunk):
+        parts.extend(batch_extract_simple(texts[s:s + chunk],
+                                          FLAGSHIP_CONFIG))
+    assert whole == parts
