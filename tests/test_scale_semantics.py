@@ -91,6 +91,34 @@ def test_sinks_round_trip(spark, skewed, tmp_path):
     assert iceberg_available(spark) in (True, False)  # no jar here: False
 
 
+def test_iceberg_write_round_trip(spark, skewed, tmp_path):
+    """The Iceberg branch of write_ordered, exercised when (and only
+    when) the runtime jar is on the classpath. This sandbox has no
+    network and ships no iceberg-spark-runtime jar anywhere on disk
+    (verified: `find / -iname '*iceberg*'` is empty), so the test skips
+    here and the parquet fallback above carries the coverage — on any
+    real deployment with the jar, this test runs the sorted
+    createOrReplace path end to end."""
+    import pytest
+
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg runtime jar in this sandbox (offline; "
+                    "not vendorable) — parquet fallback tested above")
+    spark.conf.set("spark.sql.catalog.local",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.local.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.local.warehouse",
+                   str(tmp_path / "iceberg_wh"))
+    eng = SparkOcrEngine(spark)
+    out = eng.extract(skewed.where(F.col("conv_id") != "whale"))
+    write_ordered(out.select("conv_id", "turn_idx", "n_blocks",
+                             "full_text"),
+                  "local.db.extract_out", fmt="iceberg")
+    back = read_transcripts(spark, "local.db.extract_out",
+                            fmt="iceberg")
+    assert back.count() == 500
+
+
 def test_debug_html_sink(spark, skewed, tmp_path):
     from sparkocr.engine import SparkOcrEngine
     from sparkocr.sources import debug_html, write_debug_html
