@@ -376,12 +376,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_sample_split_documents(spark, sf):
         # merged round 4: the deterministic per-source md5 sample + the
         # reproducible hash split as one per-row result — each sampled
-        # row carries its split label, both operators' columns verified
+        # row carries its split label, both operators' columns verified.
+        # split_n_full is the FULL-corpus count of the row's
+        # (source, split) bucket, so the gate still covers every row's
+        # split assignment (not just the 10 sampled per source): a
+        # threshold regression on any unsampled doc_id moves a bucket
+        # count and fails the hash. The counts table is sources x 3
+        # rows -> auto-broadcast; the full corpus is scanned once more
+        # but only (source, split) ever shuffles.
         from sparkocr.analysis import hash_split, stratified_sample
 
-        return hash_split(
-            stratified_sample(_t(spark, sf, "documents"), k=10)
-        ).select("source", "doc_id", "split")
+        docs = _t(spark, sf, "documents")
+        counts = (
+            hash_split(docs).groupBy("source", "split")
+            .agg(F.count("*").alias("split_n_full"))
+        )
+        sampled = hash_split(stratified_sample(docs, k=10)).select(
+            "source", "doc_id", "split")
+        return sampled.join(counts, ["source", "split"]).select(
+            "source", "doc_id", "split", "split_n_full")
 
     def q_ivf_topk_embeddings(spark, sf):
         from sparkocr.ann import ivf_topk
@@ -1514,18 +1527,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "sample_split_documents": """
-            SELECT source, doc_id,
-                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
-                        THEN 'train'
-                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
-                        THEN 'val' ELSE 'test' END AS split
-            FROM (
+            WITH split_all AS (
               SELECT source, doc_id,
-                     row_number() OVER (
-                       PARTITION BY source
-                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                          THEN 'train'
+                          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                          THEN 'val' ELSE 'test' END AS split
               FROM documents
-            ) WHERE rn <= 10
+            ), counts AS (
+              SELECT source, split,
+                     CAST(count(*) AS BIGINT) AS split_n_full
+              FROM split_all GROUP BY source, split
+            ), sampled AS (
+              SELECT source, doc_id, split FROM (
+                SELECT source, doc_id, split,
+                       row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM split_all
+              ) WHERE rn <= 10
+            )
+            SELECT s.source, s.doc_id, s.split, c.split_n_full
+            FROM sampled s JOIN counts c
+              ON s.source = c.source AND s.split = c.split
         """,
         "pii_scrub_documents": """
             WITH all_docs AS (

@@ -2,7 +2,8 @@
 ``queries()`` entry on Spark at sf0.01, run the matching ``oracle_sql()``
 on DuckDB over the same parquet, compare row count + column names +
 order-insensitive value hash. Run: python scripts/check_correctness.py
-[sf_dir]"""
+[sf_dir] [--query name ...] (each --query limits the run to the named
+queries — substring match — for fast iteration on one operator)"""
 
 from __future__ import annotations
 
@@ -51,7 +52,13 @@ def _cell(v) -> str:
 
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: list[str] = []
+    while "--query" in args:
+        i = args.index("--query")
+        only.append(args[i + 1])
+        del args[i:i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     import __spark_entry__ as entrymod
     from sparkocr.session import get_spark
 
@@ -66,6 +73,8 @@ def main():
     osql = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
+        if only and not any(pat in name for pat in only):
+            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf)

@@ -296,20 +296,29 @@ def with_rank(df: DataFrame, conv_col: str = "conv_id",
     ordering invariant every comparison and ordered sink uses (the
     index-restoring reassembly analog, efficient_cropping.rs:186-202).
 
-    Computed WITHOUT a global single-partition window: the input goes
-    through :func:`ordered`'s range partitioning, each task ranks its
-    own partition, and the tiny per-partition row counts (one row per
-    partition) fold into cumulative offsets that are broadcast back —
-    rank = partition offset + local row_number. Range partitioning
-    puts every key of partition p before every key of partition p+1,
-    so the stitched rank equals the global row_number; ties on the
-    full key get an arbitrary (but stable per run) order, exactly like
-    the single-window form this replaces."""
-    rp = ordered(df, conv_col, turn_col).withColumn(
-        "__pid", F.spark_partition_id())
-    w_local = Window.partitionBy("__pid").orderBy(conv_col, turn_col)
-    local = rp.withColumn("__lrn", F.row_number().over(w_local))
-    # one row per partition: the offset table is partition-count-sized
+    Computed with ONE full-data shuffle (the range partition itself):
+    ``monotonically_increasing_id()`` projected on top of
+    :func:`ordered`'s sorted output encodes (partition id << 33) +
+    in-order local row offset — a narrow, zero-exchange operation —
+    and only the partition-count-sized offset table (one count row per
+    partition) is aggregated and broadcast back: rank = partition
+    offset + local row number. Range partitioning puts every key of
+    partition p before every key of partition p+1, so the stitched
+    rank equals the global row_number; ties on the full key get an
+    arbitrary (but stable per run) order, exactly like the
+    single-window form this replaces. (A ``Window.partitionBy(pid)``
+    formulation would hash-exchange the whole dataset a second time —
+    the window's required hash partitioning never matches the range
+    partitioning already in place.)"""
+    local = (
+        ordered(df, conv_col, turn_col)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33))
+        .withColumn("__lrn",
+                    F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1)
+    )
+    # one row per partition: the offset table is partition-count-sized,
+    # so the global window over it is trivially cheap
     w_off = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1)
     offsets = (
@@ -322,7 +331,7 @@ def with_rank(df: DataFrame, conv_col: str = "conv_id",
         local.join(F.broadcast(offsets), "__pid")
         .withColumn("rank",
                     (F.col("__off") + F.col("__lrn")).cast("int"))
-        .drop("__pid", "__lrn", "__off")
+        .drop("__pid", "__lrn", "__off", "__mid")
     )
 
 

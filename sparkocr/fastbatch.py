@@ -15,16 +15,21 @@ Byte-exactness contract: for every eligible turn the result equals
 ``pipeline.extract_turn`` EXACTLY (text, confidence bits, spans,
 geometry, block type) — enforced by the differential suite in
 tests/test_fastbatch.py. Anything the flat machine cannot reproduce
-bit-for-bit (entities decoding into markup, lone surrogates,
-resample-height overflow) is declared ineligible and falls back to the
-per-turn path; eligibility errs toward fallback, never toward
-approximation.
+bit-for-bit (entities decoding into markup, lone surrogates) is
+declared ineligible and falls back to the per-turn path; eligibility
+errs toward fallback, never toward approximation.
 
 Eligible = text is a str containing none of ``\\n \\r \\f < \\x1b``
 (the det.py fast-path conditions plus the TurnGrid separators) whose
 canonical crop still contains no ``<``/ESC (entity decode can mint
-them) and fits one recognition band. The decode boundary rules are
-preserved across the flat array: the NUL separator is a CTC blank
+them). Entity-minted newlines (``&#10;``) stay in-domain: detection
+geometry comes from the original single-line text on both paths, and
+``canonicalize`` caps the crop's line count at ``max_rec_lines`` (no
+overflow is possible), so the flat machine scores/emits the minted
+``\\n`` exactly as ``recognize_crop`` does — covered by the
+``&#10;`` rows of the randomized differential test. The decode
+boundary rules are preserved across the flat array: the NUL separator
+is a CTC blank
 (resets ``last_char``, emits nothing) and the punct-collapse pass is
 crop-id-guarded so it never merges across turns.
 """
@@ -78,7 +83,7 @@ def batch_extract_simple(
 
     idxs: list[int] = []      # rows entering the flat decode
     canons: list[str] = []
-    metas: list[tuple] = []   # (left, right, canon)
+    metas: list[tuple] = []   # (left, right)
     for i in range(n):
         t = texts[i]
         if not _eligible(t):
@@ -94,12 +99,12 @@ def batch_extract_simple(
         left = max(c0 - border, 0)
         right = min(c1 + border, len(t) - 1)
         canon = canonicalize(t[left:right + 1], config.max_rec_lines)
-        # post-canon gates: entity decode can mint '<' (markup scoring)
-        # or '\n' past the resample height — both leave the flat
-        # machine's domain, so those rows take the exact per-turn path
+        # post-canon gate: entity decode can mint '<' (markup scoring
+        # leaves the flat machine's domain) — those rows take the exact
+        # per-turn path. Minted '\n' needs no gate: canonicalize caps
+        # line count, and the flat machine reproduces recognize_crop's
+        # newline handling bit-for-bit (see module docstring).
         if "<" in canon or "\x1b" in canon:
-            continue
-        if "\n" in canon and canon.count("\n") + 1 > config.max_rec_lines:
             continue
         idxs.append(i)
         canons.append(canon)

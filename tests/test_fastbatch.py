@@ -103,6 +103,21 @@ def test_restricted_dictionary_and_threshold_configs():
     _assert_matches(texts, cfg2, min_eligible=3)
 
 
+def test_entity_minted_newlines_and_none_max_rec_lines():
+    """&#10; entities mint '\\n' inside the canonical crop; the flat
+    machine must reproduce recognize_crop bit-for-bit there, including
+    under max_rec_lines=None (the corpus-normalization mode, which a
+    dead pre-fix gate would have crashed on with a TypeError)."""
+    texts = [
+        "first&#10;second&#10;third entity-minted lines",
+        "dense" + "&#10;x" * 60 + " tail",  # > REC_MAX_LINES mints
+        "plain row between the minted ones",
+    ]
+    _assert_matches(texts, min_eligible=3)
+    cfg_none = DEFAULT_CONFIG.with_overrides(max_rec_lines=None)
+    _assert_matches(texts, cfg_none, min_eligible=3)
+
+
 def test_real_corpus_turns_all_match():
     import duckdb
 
