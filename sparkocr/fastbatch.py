@@ -50,7 +50,7 @@ from .config import (
     EngineConfig,
 )
 from .pipeline import Block, TurnResult
-from .recognize import _in_vocab, canonicalize, classify_block
+from .recognize import canonicalize, classify_block, decode
 from .textgrid import _NL, _PUNCT_LUT, _WORD_LUT, is_boiler_line
 
 _EMPTY = TurnResult(blocks=[], full_text="")
@@ -144,46 +144,14 @@ def _decode_flat(idxs, canons, metas, out, config, top, height) -> None:
     scores = np.full(len(cp), SCORE_OTHER, dtype=np.float32)
     scores[word | space | nl] = SCORE_WORD
     scores[punct] = SCORE_PUNCT
+    # blank = control chars except \n (the NUL separator included — the
+    # crop-boundary reset); the dictionary-blank rule is decode's own
     blank = (cp < 0x20) & ~nl
-    if config.dictionary is not None:
-        blank = blank | ~_in_vocab(cp, config.dictionary)
 
-    # recognize.decode's general machine, verbatim semantics
-    thr = np.where(punct, np.float32(config.punct_min_score),
-                   np.float32(config.min_score))
-    high = (scores > thr) & ~blank
-    borderline = (
-        ~high & ~blank & punct
-        & (scores > np.float32(config.punct_min_score) * np.float32(0.8))
-    )
-    cls = np.zeros(len(cp), dtype=np.int8)
-    cls[high] = 1
-    cls[borderline] = 2
-    state_idx = np.flatnonzero(cls != 2)
-    if state_idx.size:
-        kk = np.searchsorted(state_idx, np.arange(len(cp)),
-                             side="left") - 1
-        has_prev = kk >= 0
-        prev = state_idx[np.maximum(kk, 0)]
-        dup = (high & ~punct & has_prev
-               & (cls[prev] == 1) & (cp[prev] == cp))
-    else:
-        dup = np.zeros(len(cp), dtype=bool)
-    emit = (high & ~dup) | borderline
-
-    e_cp = cp[emit]
-    e_sc = scores[emit]
-    e_id = ids[emit]
-    e_punct = punct[emit]
-    keep = np.ones(len(e_cp), dtype=bool)
-    if len(e_cp) > 1:
-        # the punct-run collapse, id-guarded: a crop's first emitted
-        # char never collapses against the previous crop's last
-        keep[1:] = ~(e_punct[1:] & (e_cp[1:] == e_cp[:-1])
-                     & (e_id[1:] == e_id[:-1]))
-    f_cp = e_cp[keep]
-    f_sc = e_sc[keep]
-    f_id = e_id[keep]
+    # decode the WHOLE flat array in one call of the shared machine
+    # (recognize.decode with seg_ids — the single home of the decode
+    # semantics; this module owns only the scoring and the reassembly)
+    f_cp, f_sc, f_id = decode(cp, scores, blank, config, seg_ids=ids)
     # per-crop slice bounds in the kept stream (f_id ascending)
     bounds = np.searchsorted(f_id, np.arange(k + 1))
 

@@ -99,7 +99,8 @@ def decode(
     scores: np.ndarray,
     blank: np.ndarray,
     config: EngineConfig = DEFAULT_CONFIG,
-) -> tuple[np.ndarray, np.ndarray]:
+    seg_ids: np.ndarray | None = None,
+):
     """R3+R4+R5 greedy decode. Returns (codepoints, scores) of the kept
     characters, in order. Semantics verbatim from rec.rs:344-398:
 
@@ -109,10 +110,22 @@ def decode(
     - else if punctuation and score > 0.8*0.1: emit, last_char UNCHANGED
     - else: last_char = None
     - post-pass: consecutive identical punctuation collapsed to the first
+
+    ``seg_ids`` (optional, same length as ``cp``) runs the identical
+    machine over a FLAT CONCATENATION of independent crops — the
+    Arrow-batch fast path (fastbatch.py) concatenates every eligible
+    crop into one array and decodes the whole batch in one call. With
+    it, the repeat rule and the punct collapse are additionally
+    id-guarded so no state crosses a crop boundary (for fastbatch's
+    input the dup guard is redundant — its NUL separators are blanks
+    that reset state — but the guard makes the kernel correct for
+    separator-less segmented input too), and the return grows a third
+    element: the kept characters' segment ids. This is THE single home
+    of the decode state machine; fastbatch owns no copy of it.
     """
     n = len(cp)
     if n == 0:
-        return cp, scores
+        return (cp, scores) if seg_ids is None else (cp, scores, seg_ids)
     if config.dictionary is not None:
         # out-of-vocabulary characters act as CTC blanks (the argmax can
         # only land inside the keys table, rec.rs:16; an unrecognizable
@@ -132,6 +145,11 @@ def decode(
     cls[high] = 1
     cls[borderline] = 2
 
+    same_seg = None
+    if seg_ids is not None:
+        same_seg = np.ones(n, dtype=bool)
+        same_seg[1:] = seg_ids[1:] == seg_ids[:-1]
+
     if not np.any(cls != 1):
         # fast path — every position HIGH (the common case: a clean
         # prose crop, no blanks/markup/borderline): the previous
@@ -140,12 +158,15 @@ def decode(
         # general machine below when cls is all ones.
         dup_f = np.zeros(n, dtype=bool)
         dup_f[1:] = (cp[1:] == cp[:-1]) & ~punct[1:]
-        e_cp = cp[~dup_f]
-        e_sc = scores[~dup_f]
-        e_punct = punct[~dup_f]
-        keep = np.ones(len(e_cp), dtype=bool)
-        keep[1:] = ~(e_punct[1:] & (e_cp[1:] == e_cp[:-1]))
-        return e_cp[keep], e_sc[keep]
+        if same_seg is not None:
+            dup_f &= same_seg
+        keep_f = ~dup_f
+        e_cp = cp[keep_f]
+        e_sc = scores[keep_f]
+        e_punct = punct[keep_f]
+        return _punct_collapse(
+            e_cp, e_sc, e_punct,
+            seg_ids[keep_f] if seg_ids is not None else None)
 
     state_idx = np.flatnonzero(cls != 2)
     if state_idx.size:
@@ -156,19 +177,31 @@ def decode(
             high & ~punct & has_prev
             & (cls[prev] == 1) & (cp[prev] == cp)
         )
+        if seg_ids is not None:
+            dup &= seg_ids[np.maximum(prev, 0)] == seg_ids
     else:
         # every position BORDERLINE (possible under custom thresholds):
         # no state-changing position exists, so nothing is a repeat
         dup = np.zeros(n, dtype=bool)
     emit = (high & ~dup) | borderline
 
-    e_cp = cp[emit]
-    e_sc = scores[emit]
-    e_punct = punct[emit]
+    return _punct_collapse(
+        cp[emit], scores[emit], punct[emit],
+        seg_ids[emit] if seg_ids is not None else None)
+
+
+def _punct_collapse(e_cp, e_sc, e_punct, e_id):
+    """R5 post-pass: consecutive identical punctuation collapses to the
+    first — id-guarded when decoding a flat multi-crop array (a crop's
+    first emitted char never collapses against the previous crop's
+    last)."""
     if len(e_cp) == 0:
-        return e_cp, e_sc
+        return (e_cp, e_sc) if e_id is None else (e_cp, e_sc, e_id)
     keep = np.ones(len(e_cp), dtype=bool)
     keep[1:] = ~(e_punct[1:] & (e_cp[1:] == e_cp[:-1]))
+    if e_id is not None:
+        keep[1:] |= e_id[1:] != e_id[:-1]
+        return e_cp[keep], e_sc[keep], e_id[keep]
     return e_cp[keep], e_sc[keep]
 
 
