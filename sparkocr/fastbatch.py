@@ -1,15 +1,29 @@
-"""Batch-vectorized fast path for simple turns (round-4 throughput work).
+"""Batch-vectorized fast paths for common turn shapes (round-4 work).
 
 The per-turn pipeline already short-circuits the common chat-message
 shape — one line, no markup, no ANSI — inside ``detect.find_text_boxes``
 (det.py fast path), but the per-turn cost was still dominated by the
 ~40 small numpy allocations each ``recognize_crop`` call makes. This
-module lifts that work to the Arrow-batch level: eligible turns are
-detected with cheap C-level string scans, their canonical crops are
-concatenated into ONE flat codepoint array (NUL separators), and the
-whole batch runs the decode state machine (recognize.decode semantics,
-rec.rs:344-398) in a handful of numpy passes. Per-row Python shrinks to
-string slicing plus one small float32 reduction.
+module lifts that work to the Arrow-batch level, in two stages:
+
+- **Stage 1 (single-line)**: eligible turns are detected with cheap
+  C-level string scans and their canonical crops enter the flat decode
+  directly (one box per turn by construction).
+- **Stage 2 (multi-line plain)**: turns with newlines but still no
+  markup/ANSI/form-feed — 60%+ of transcript-shaped corpora — run
+  per-LINE detection with the same C-level string ops (for plain text
+  the whole probability-map cascade reduces to "has a visible char and
+  is not boilerplate": density is 1, score is exactly 255 or 0), then
+  the verbatim transitive merge (``detect.merge_overlapping_boxes`` —
+  the exact fixpoint, not a re-implementation) over each turn's
+  handful of line boxes, then crop assembly by plain string slicing
+  (no markup to blank).
+
+Crops from BOTH stages are concatenated into ONE flat codepoint array
+(NUL separators) and decoded by the shared state machine
+(``recognize.decode`` with ``seg_ids`` — the single home of the decode
+semantics, rec.rs:344-398) in a handful of numpy passes. Per-row
+Python shrinks to string slicing plus one small float32 reduction.
 
 Byte-exactness contract: for every eligible turn the result equals
 ``pipeline.extract_turn`` EXACTLY (text, confidence bits, spans,
@@ -19,19 +33,21 @@ bit-for-bit (entities decoding into markup, lone surrogates) is
 declared ineligible and falls back to the per-turn path; eligibility
 errs toward fallback, never toward approximation.
 
-Eligible = text is a str containing none of ``\\n \\r \\f < \\x1b``
-(the det.py fast-path conditions plus the TurnGrid separators) whose
-canonical crop still contains no ``<``/ESC (entity decode can mint
-them). Entity-minted newlines (``&#10;``) stay in-domain: detection
-geometry comes from the original single-line text on both paths, and
-``canonicalize`` caps the crop's line count at ``max_rec_lines`` (no
-overflow is possible), so the flat machine scores/emits the minted
-``\\n`` exactly as ``recognize_crop`` does — covered by the
-``&#10;`` rows of the randomized differential test. The decode
-boundary rules are preserved across the flat array: the NUL separator
-is a CTC blank
-(resets ``last_char``, emits nothing) and the punct-collapse pass is
-crop-id-guarded so it never merges across turns.
+Stage-1 eligible = text is a str containing none of ``\\n \\r \\f <
+\\x1b`` whose canonical crop still contains no ``<``/ESC (entity
+decode can mint them). Stage-2 eligible = str containing a newline
+(``\\n``/``\\r``) but no ``< \\x1b \\f`` — form-feed turns stay on the
+per-turn path so the document router (pipeline.extract_turn_auto)
+keeps seeing them. Entity-minted newlines (``&#10;``) stay in-domain:
+detection geometry comes from the pre-canonicalize lines on both
+paths, and ``canonicalize`` caps the crop's line count at
+``max_rec_lines`` (no overflow is possible), so the flat machine
+scores/emits the minted ``\\n`` exactly as ``recognize_crop`` does —
+covered by the ``&#10;`` rows of the randomized differential test.
+The decode boundary rules are preserved across the flat array: the
+NUL separator is a CTC blank (resets ``last_char``, emits nothing)
+and the punct-collapse pass is crop-id-guarded so it never merges
+across crops.
 """
 
 from __future__ import annotations
@@ -49,6 +65,7 @@ from .config import (
     SCORE_WORD,
     EngineConfig,
 )
+from .detect import Box, merge_overlapping_boxes
 from .pipeline import Block, TurnResult
 from .recognize import canonicalize, classify_block, decode
 from .textgrid import _NL, _PUNCT_LUT, _WORD_LUT, is_boiler_line
@@ -66,64 +83,159 @@ def _eligible(t) -> bool:
     )
 
 
+def _eligible_multiline(t) -> bool:
+    """Stage 2: multi-line plain text. No markup/ANSI, and no form-feed
+    (the document router keys on \\f — those rows must keep reaching
+    pipeline.extract_turn_auto on the per-turn path)."""
+    return (
+        isinstance(t, str)
+        and ("\n" in t or "\r" in t) and "\f" not in t
+        and "<" not in t and "\x1b" not in t
+    )
+
+
+def _plain_multiline_crops(t: str, config: EngineConfig, border: int):
+    """Detection + crop assembly for one multi-line plain turn, with
+    C-level string ops only — semantics verbatim from the general path
+    (TurnGrid fold → line_scores → find_text_boxes → crop_box):
+
+    - fold: ``\\r\\n`` → `` \\n`` (same length, offsets preserved),
+      ``\\r`` → ``\\n`` (no \\f by eligibility)
+    - per-line score: for text with no markup and no anchors the
+      probability map is exactly 255 (any visible char, not boiler)
+      or 0, so ON = visible and not boilerplate
+    - one segment per ON line (no markup runs to split on); trim
+      {tab, space}; drop width <= MIN_BOX_SIZE; expand by border,
+      clamped to the line and the grid
+    - the transitive merge is detect.merge_overlapping_boxes ITSELF
+    - crop text: line slices joined by \\n (nothing to blank); spans
+      via the box_span arithmetic
+
+    Returns (canons, metas) where metas are per-crop
+    (box, span_start, span_end), or None when any crop leaves the flat
+    machine's domain (entity decode minting '<'/ESC) — the caller
+    falls the whole row back to the per-turn path.
+    """
+    folded = t.replace("\r\n", " \n").replace("\r", "\n")
+    lines = folded.split("\n")
+    grid_h = len(lines) * LINE_HEIGHT
+    boxes: list[Box] = []
+    for y, ln in enumerate(lines):
+        c0 = len(ln) - len(ln.lstrip(" \t"))
+        if c0 == len(ln):  # empty or all-whitespace: score 0
+            continue
+        if ("[" in ln or "=" in ln) and is_boiler_line(ln):
+            continue
+        c1 = len(ln.rstrip(" \t")) - 1
+        if c1 - c0 <= MIN_BOX_SIZE:
+            continue
+        left = max(c0 - border, 0)
+        right = min(c1 + border, len(ln) - 1)
+        top = max(y * LINE_HEIGHT + GLYPH_TOP - border, 0)
+        bottom = min(y * LINE_HEIGHT + GLYPH_BOTTOM + border, grid_h - 1)
+        boxes.append(Box(left, top, right - left + 1, bottom - top + 1))
+    if config.merge_boxes:
+        boxes = merge_overlapping_boxes(boxes, config.merge_threshold)
+    if not boxes:
+        return [], []
+    offs, pos = [], 0
+    for ln in lines:
+        offs.append(pos)
+        pos += len(ln) + 1
+    canons: list[str] = []
+    metas: list[tuple] = []
+    last = len(lines) - 1
+    for box in boxes:
+        y0 = min(box.top // LINE_HEIGHT, last)
+        y1 = min(box.bottom // LINE_HEIGHT, last)
+        b_right = box.right + 1
+        parts = []
+        for y in range(y0, y1 + 1):
+            ln = lines[y]
+            a = min(box.left, len(ln))
+            b = min(b_right, len(ln))
+            parts.append(ln[a:b] if b > a else "")
+        canon = canonicalize("\n".join(parts), config.max_rec_lines)
+        if "<" in canon or "\x1b" in canon:
+            return None
+        start = offs[y0] + min(box.left, len(lines[y0]))
+        end = offs[y1] + min(b_right, len(lines[y1]))
+        canons.append(canon)
+        metas.append((box, start, end))
+    return canons, metas
+
+
 def batch_extract_simple(
     texts, config: EngineConfig = DEFAULT_CONFIG
 ) -> list:
     """Process every eligible turn of ``texts`` (a sequence of
     already-``_clean_text``-ed values) in one vectorized pass. Returns a
-    list aligned with ``texts``: a ``TurnResult`` where the fast path
+    list aligned with ``texts``: a ``TurnResult`` where a fast path
     applied, ``None`` where the caller must run the per-turn pipeline."""
     n = len(texts)
     out: list = [None] * n
     border = config.rect_border_size
-    grid_h = LINE_HEIGHT  # single line
-    top = max(GLYPH_TOP - border, 0)
-    bottom = min(GLYPH_BOTTOM + border, grid_h - 1)
-    height = bottom - top + 1
+    grid_h1 = LINE_HEIGHT  # stage-1 grid: single line
+    top1 = max(GLYPH_TOP - border, 0)
+    bottom1 = min(GLYPH_BOTTOM + border, grid_h1 - 1)
+    height1 = bottom1 - top1 + 1
 
-    idxs: list[int] = []      # rows entering the flat decode
-    canons: list[str] = []
-    metas: list[tuple] = []   # (left, right)
+    canons: list[str] = []    # canonical crop text, all rows flattened
+    metas: list[tuple] = []   # per crop: (box, span_start, span_end)
+    rows: list[tuple] = []    # per flat row: (row index, k0, k1) crop slice
     for i in range(n):
         t = texts[i]
-        if not _eligible(t):
-            continue
-        if ("[" in t or "=" in t) and is_boiler_line(t):
-            out[i] = _EMPTY
-            continue
-        c0 = len(t) - len(t.lstrip(" \t"))
-        c1 = len(t.rstrip(" \t")) - 1
-        if c1 - c0 <= MIN_BOX_SIZE:
-            out[i] = _EMPTY
-            continue
-        left = max(c0 - border, 0)
-        right = min(c1 + border, len(t) - 1)
-        canon = canonicalize(t[left:right + 1], config.max_rec_lines)
-        # post-canon gate: entity decode can mint '<' (markup scoring
-        # leaves the flat machine's domain) — those rows take the exact
-        # per-turn path. Minted '\n' needs no gate: canonicalize caps
-        # line count, and the flat machine reproduces recognize_crop's
-        # newline handling bit-for-bit (see module docstring).
-        if "<" in canon or "\x1b" in canon:
-            continue
-        idxs.append(i)
-        canons.append(canon)
-        metas.append((left, right))
+        if _eligible(t):
+            # stage 1: single line — one box by construction
+            if ("[" in t or "=" in t) and is_boiler_line(t):
+                out[i] = _EMPTY
+                continue
+            c0 = len(t) - len(t.lstrip(" \t"))
+            c1 = len(t.rstrip(" \t")) - 1
+            if c1 - c0 <= MIN_BOX_SIZE:
+                out[i] = _EMPTY
+                continue
+            left = max(c0 - border, 0)
+            right = min(c1 + border, len(t) - 1)
+            canon = canonicalize(t[left:right + 1], config.max_rec_lines)
+            # post-canon gate: entity decode can mint '<' (markup
+            # scoring leaves the flat machine's domain) — those rows
+            # take the exact per-turn path. Minted '\n' needs no gate:
+            # canonicalize caps line count, and the flat machine
+            # reproduces recognize_crop's newline handling bit-for-bit
+            # (see module docstring).
+            if "<" in canon or "\x1b" in canon:
+                continue
+            box = Box(left, top1, right - left + 1, height1)
+            rows.append((i, len(canons), len(canons) + 1))
+            canons.append(canon)
+            metas.append((box, left, right + 1))
+        elif _eligible_multiline(t):
+            # stage 2: per-line detection + verbatim merge
+            got = _plain_multiline_crops(t, config, border)
+            if got is None:
+                continue  # a crop minted markup: per-turn path
+            r_canons, r_metas = got
+            if not r_canons:
+                out[i] = _EMPTY
+                continue
+            rows.append((i, len(canons), len(canons) + len(r_canons)))
+            canons.extend(r_canons)
+            metas.extend(r_metas)
 
-    if idxs:
+    if rows:
         try:
-            _decode_flat(idxs, canons, metas, out, config,
-                         top, height)
+            _decode_flat(rows, canons, metas, out, config)
         except Exception:
             # poison batch (e.g. lone surrogate breaking the joint
             # encode): retry nothing here — per-row fallback preserves
             # the per-turn path's own poison-row containment
-            for i in idxs:
+            for i, _, _ in rows:
                 out[i] = None
     return out
 
 
-def _decode_flat(idxs, canons, metas, out, config, top, height) -> None:
+def _decode_flat(rows, canons, metas, out, config: EngineConfig) -> None:
     k = len(canons)
     flat = "\x00".join(canons)
     cp = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32)
@@ -135,8 +247,7 @@ def _decode_flat(idxs, canons, metas, out, config, top, height) -> None:
 
     # char_scores for the markup-free case (textgrid.char_scores with
     # mk all-false): word/space/nl → SCORE_WORD, punct → SCORE_PUNCT,
-    # rest SCORE_OTHER; blank = control chars except \n (separator \x00
-    # included — the boundary reset)
+    # rest SCORE_OTHER
     word = np.take(_WORD_LUT, cp.astype(np.intp, copy=False), mode="clip")
     punct = np.take(_PUNCT_LUT, cp.astype(np.intp, copy=False), mode="clip")
     nl = cp == _NL
@@ -152,26 +263,30 @@ def _decode_flat(idxs, canons, metas, out, config, top, height) -> None:
     # (recognize.decode with seg_ids — the single home of the decode
     # semantics; this module owns only the scoring and the reassembly)
     f_cp, f_sc, f_id = decode(cp, scores, blank, config, seg_ids=ids)
+
     # per-crop slice bounds in the kept stream (f_id ascending)
     bounds = np.searchsorted(f_id, np.arange(k + 1))
 
-    for j in range(k):
-        a, b = bounds[j], bounds[j + 1]
-        d_cp = f_cp[a:b]
-        d_sc = f_sc[a:b]
-        text = d_cp.tobytes().decode("utf-32-le")
-        if len(d_sc) == 0:
-            conf = 0.0
-        else:
-            # float32 pairwise sum over the same-length slice — the
-            # exact arithmetic of recognize_crop (rec.rs:179-186)
-            conf = float(np.float32(d_sc.sum(dtype=np.float32))
-                         / np.float32(len(d_sc)))
-        left, right = metas[j]
-        blk = Block(
-            pos=0, text=text, confidence=conf,
-            block_type=classify_block(canons[j]),
-            left=left, top=top, width=right - left + 1, height=height,
-            start=left, end=right + 1,
-        )
-        out[idxs[j]] = TurnResult(blocks=[blk], full_text=text)
+    for i, k0, k1 in rows:
+        blocks = []
+        for j in range(k0, k1):
+            a, b = bounds[j], bounds[j + 1]
+            d_sc = f_sc[a:b]
+            text = f_cp[a:b].tobytes().decode("utf-32-le")
+            if len(d_sc) == 0:
+                conf = 0.0
+            else:
+                # float32 pairwise sum over the same-length slice — the
+                # exact arithmetic of recognize_crop (rec.rs:179-186)
+                conf = float(np.float32(d_sc.sum(dtype=np.float32))
+                             / np.float32(len(d_sc)))
+            box, start, end = metas[j]
+            blocks.append(Block(
+                pos=j - k0, text=text, confidence=conf,
+                block_type=classify_block(canons[j]),
+                left=box.left, top=box.top,
+                width=box.width, height=box.height,
+                start=start, end=end,
+            ))
+        out[i] = TurnResult(
+            blocks=blocks, full_text="\n".join(b.text for b in blocks))

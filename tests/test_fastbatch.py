@@ -57,19 +57,60 @@ def test_ineligible_shapes_fall_back():
     texts = [
         None,
         float("nan"),  # engine._clean_text maps to None before the call
-        "two\nlines",
-        "carriage\rreturn",
-        "form\ffeed",
+        "form\ffeed",  # stage 2 must NOT take \f: the document router
+        #              (extract_turn_auto) keys on it for tool turns
         "<b>markup</b>",
         "ansi \x1b[31mred\x1b[0m",
         "entity-minted markup &lt;script&gt; stays exact",
+        "multi\nline with entity-minted markup &lt;tag&gt; falls back",
     ]
     got = batch_extract_simple(
         [t if isinstance(t, str) else None for t in texts], FLAGSHIP_CONFIG)
     # None/ineligible rows must all be None (fallback), never a result
-    assert all(r is None for r in got[:7])
-    # the &lt; row decodes to '<' in canon — must ALSO fall back
-    assert got[7] is None
+    assert all(r is None for r in got)
+
+
+def test_multiline_plain_turns_match_and_take_the_fast_path():
+    """Stage 2: newline-bearing plain turns run the flat machine —
+    per-line detection, the verbatim transitive merge, multi-crop
+    reassembly — and must be byte-identical to the per-turn path."""
+    texts = [
+        "two\nlines",
+        "carriage\rreturn",
+        "crlf line one\r\nline two",
+        "para one line one\npara one line two\n\n\npara two after gap",
+        "   indented first\n\tand a tabbed second line here\n",
+        "short\na much much longer second line that dominates\ntiny",
+        "[PAGE 3]\nreal content between boiler lines\n=== PAGE 7 ===",
+        "a b\nnarrow lines get dropped\nc d",
+        "日本語の行がひとつ\nそしてもうひとつの行",
+        "ends with newline\n",
+        "\n\nstarts with blank lines\n\n",
+        "punct!!! runs\nacross??? lines... collapse per crop",
+        "&#10; minted newline inside\na real multi-line turn &#65;",
+        "x" * 300 + "\n" + "y" * 300,
+    ]
+    _assert_matches(texts, min_eligible=len(texts))
+    # merge disabled / zero threshold change box topology — still exact
+    _assert_matches(texts, DEFAULT_CONFIG.with_merge_boxes(False),
+                    min_eligible=len(texts))
+    _assert_matches(texts, DEFAULT_CONFIG.with_merge_threshold(0),
+                    min_eligible=len(texts))
+
+
+def test_randomized_multiline_against_per_turn(seed=17, n=500):
+    rng = random.Random(seed)
+    pieces = (
+        list("abcdef XYZ 01234") + list(".,!?、。") + ["  ", "\t", "_", "😀"]
+        + ["&amp;", "&#10;", "[", "=", "]", "la ", "PAGE ", "===", "\x07"]
+        + ["\n", "\r\n", "\r", "\n\n", "word\n"]
+    )
+    texts = []
+    for _ in range(n):
+        k = rng.randint(1, 50)
+        texts.append("".join(rng.choice(pieces) for _ in range(k)))
+    n_fast = _assert_matches(texts, min_eligible=int(n * 0.5))
+    assert n_fast <= n
 
 
 def test_randomized_against_per_turn(seed=11, n=400):
