@@ -56,6 +56,9 @@ def main():
     only: list[str] = []
     while "--query" in args:
         i = args.index("--query")
+        if i + 1 >= len(args):
+            sys.exit("usage: check_correctness.py [sf_dir] "
+                     "[--query name ...] (--query needs a value)")
         only.append(args[i + 1])
         del args[i:i + 2]
     sf = args[0] if args else "/root/testdata/sf0.01"

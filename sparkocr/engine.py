@@ -330,7 +330,9 @@ def with_rank(df: DataFrame, conv_col: str = "conv_id",
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn("rank",
-                    (F.col("__off") + F.col("__lrn")).cast("int"))
+                    # long, not int: the rank must survive past 2^31
+                    # rows (the north rule names 10^12 turns)
+                    (F.col("__off") + F.col("__lrn")).cast("long"))
         .drop("__pid", "__lrn", "__off", "__mid")
     )
 

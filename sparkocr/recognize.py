@@ -145,11 +145,6 @@ def decode(
     cls[high] = 1
     cls[borderline] = 2
 
-    same_seg = None
-    if seg_ids is not None:
-        same_seg = np.ones(n, dtype=bool)
-        same_seg[1:] = seg_ids[1:] == seg_ids[:-1]
-
     if not np.any(cls != 1):
         # fast path — every position HIGH (the common case: a clean
         # prose crop, no blanks/markup/borderline): the previous
@@ -158,8 +153,12 @@ def decode(
         # general machine below when cls is all ones.
         dup_f = np.zeros(n, dtype=bool)
         dup_f[1:] = (cp[1:] == cp[:-1]) & ~punct[1:]
-        if same_seg is not None:
-            dup_f &= same_seg
+        if seg_ids is not None:
+            # id-guard only needed here: multi-crop fastbatch input
+            # always carries blank separators (cls 0) and never takes
+            # this branch, but a separator-less segmented caller must
+            # not dedup across crops
+            dup_f[1:] &= seg_ids[1:] == seg_ids[:-1]
         keep_f = ~dup_f
         e_cp = cp[keep_f]
         e_sc = scores[keep_f]
