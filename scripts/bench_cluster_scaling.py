@@ -185,8 +185,32 @@ def _corpus(spark, reps: int):
     )
 
 
+def _corpus_transcripts(spark, reps: int):
+    """Transcript-SHAPED corpus (the north rule's actual input mix):
+    the deterministic `fixtures.turns_pandas` conversations — ~16%
+    single-line chat, ~62% multi-line plain, ~12% markup, plus tool/
+    document rows — replicated ``reps``× with replica-unique conv ids.
+    Exercises the full fastbatch stage-1/stage-2/fallback composition
+    on the real cluster, where `_corpus` (single-line documents) only
+    ever hits stage 1."""
+    from pyspark.sql import functions as F
+
+    from sparkocr.fixtures import turns_pandas
+
+    base = spark.createDataFrame(
+        turns_pandas(seed=3, n_convs=40)[
+            ["conv_id", "turn_idx", "role", "text"]]
+    )
+    return (
+        base.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))
+        .select(F.concat_ws("-", "conv_id", "rep").alias("conv_id"),
+                "turn_idx", "role", "text")
+        .repartition(32, "conv_id", "turn_idx")  # salted spread
+    )
+
+
 def run_pass(cores_max: int, reps: int, zpath: str,
-             skip_substr: bool) -> dict:
+             skip_substr: bool, transcripts: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from sparkocr.engine import SparkOcrEngine
@@ -194,7 +218,8 @@ def run_pass(cores_max: int, reps: int, zpath: str,
     spark = _session(cores_max, zpath)
     try:
         spark.sparkContext.setLogLevel("ERROR")
-        corpus = _corpus(spark, reps).localCheckpoint(eager=True)
+        mk = _corpus_transcripts if transcripts else _corpus
+        corpus = mk(spark, reps).localCheckpoint(eager=True)
         n_turns = corpus.count()
         eng = SparkOcrEngine(spark)
         # warmup: every executor's python daemon forks, Arrow paths JIT,
@@ -250,6 +275,10 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--keep-cluster", action="store_true")
     ap.add_argument("--skip-substr", action="store_true")
+    ap.add_argument("--transcripts", action="store_true",
+                    help="use the transcript-shaped fixture mix "
+                         "(multi-line/markup rows) instead of "
+                         "single-line documents")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -264,7 +293,8 @@ def main() -> None:
         results: dict[int, list[dict]] = {2: [], 8: []}
         for _ in range(args.passes):
             for cm in (2, 8):  # interleaved so load bursts spread
-                r = run_pass(cm, args.reps, zpath, args.skip_substr)
+                r = run_pass(cm, args.reps, zpath, args.skip_substr,
+                             transcripts=args.transcripts)
                 print(f"# cores.max={cm}: {r}", file=sys.stderr, flush=True)
                 results[cm].append(r)
         best = {cm: min(rs, key=lambda r: r["extract_sec"])
@@ -273,7 +303,9 @@ def main() -> None:
         out = {
             "metric": "standalone-cluster scaling, 2 vs 8 real "
                       "single-core executors (pinned worker JVMs, "
-                      "py-files ship, real shuffle service)",
+                      "py-files ship, real shuffle service)"
+                      + (", transcript-shaped corpus"
+                         if args.transcripts else ""),
             "n_turns": best[2]["n_turns"],
             "turns_per_sec": {"N=2": best[2]["turns_per_sec"],
                               "4N=8": best[8]["turns_per_sec"]},
