@@ -98,6 +98,20 @@ def test_multiline_plain_turns_match_and_take_the_fast_path():
                     min_eligible=len(texts))
 
 
+def test_whale_multiline_turns_match():
+    """Stage 2 on whale turns: thousands of lines, one all-merging
+    block and a staircase (merge-resistant) shape — byte-identical and
+    bounded (the per-line work is C-level string ops; the merge
+    fixpoint is the reference's own algorithm, shared with the
+    per-turn path)."""
+    whale = "\n".join(
+        f"line number {i} with enough visible text here"
+        for i in range(3000))
+    stair = "\n".join(
+        " " * (i % 50) * 4 + "segment" + "x" * 10 for i in range(800))
+    _assert_matches([whale, stair], min_eligible=2)
+
+
 def test_randomized_multiline_against_per_turn(seed=17, n=500):
     rng = random.Random(seed)
     pieces = (
