@@ -73,6 +73,24 @@ from .textgrid import _NL, _PUNCT_LUT, _WORD_LUT, is_boiler_line
 _EMPTY = TurnResult(blocks=[], full_text="")
 
 
+def _no_surrogates(t: str) -> bool:
+    """Lone surrogates make the per-turn path fail its UTF-32 encode in
+    TurnGrid and return an InferenceError ROW — the flat machine's
+    short-circuits (empty/boiler/narrow) would otherwise answer before
+    ever encoding, so surrogate-bearing turns must fall back up front
+    to reproduce that error behavior exactly. ascii fast-gate first;
+    the utf-16 probe is a C loop that raises on any surrogate code
+    unit (paired ones don't exist in a str — Python never pairs them)
+    and passes astral-plane characters."""
+    if t.isascii():
+        return True
+    try:
+        t.encode("utf-16-le")
+        return True
+    except UnicodeEncodeError:
+        return False
+
+
 def _eligible(t) -> bool:
     """The det.py fast-path shape: one line (no \\n, and no \\r/\\f that
     TurnGrid would fold into one), no markup, no ANSI."""
@@ -80,6 +98,7 @@ def _eligible(t) -> bool:
         isinstance(t, str)
         and "\n" not in t and "\r" not in t and "\f" not in t
         and "<" not in t and "\x1b" not in t
+        and _no_surrogates(t)
     )
 
 
@@ -91,6 +110,7 @@ def _eligible_multiline(t) -> bool:
         isinstance(t, str)
         and ("\n" in t or "\r" in t) and "\f" not in t
         and "<" not in t and "\x1b" not in t
+        and _no_surrogates(t)
     )
 
 

@@ -7,6 +7,7 @@ pattern as tests/test_batch_invariance.py."""
 import random
 
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from sparkocr.config import DEFAULT_CONFIG, FLAGSHIP_CONFIG
 from sparkocr.fastbatch import batch_extract_simple
@@ -183,6 +184,30 @@ def test_real_corpus_turns_all_match():
     # the synthetic corpus is single-line and markup-free: every row
     # must be eligible AND byte-identical
     _assert_matches(texts, min_eligible=len(texts))
+
+
+@given(st.lists(
+    st.text(alphabet=st.characters(min_codepoint=0,
+                                   max_codepoint=0x10FFFF,
+                                   categories=None),
+            max_size=120),
+    max_size=10))
+@settings(max_examples=250, deadline=None, derandomize=True)
+def test_hypothesis_full_unicode_differential(texts):
+    """Arbitrary unicode — lone surrogates (which must reproduce the
+    per-turn path's InferenceError via fallback, not short-circuit to
+    empty), astral planes, combining marks, bidi controls, every
+    category. Caught a real divergence once: a narrow lone-surrogate
+    turn hit the _EMPTY short-circuit before the UTF-32 encode the
+    per-turn path fails on."""
+    got = batch_extract_simple(list(texts), FLAGSHIP_CONFIG)
+    for t, r in zip(texts, got):
+        if r is None:
+            continue
+        w = extract_turn(t, FLAGSHIP_CONFIG)
+        assert r.error_code == w.error_code, repr(t)
+        assert r.full_text == w.full_text, repr(t)
+        assert r.blocks == w.blocks, repr(t)
 
 
 @pytest.mark.parametrize("chunk", [1, 7, 64])
