@@ -168,6 +168,20 @@ def _session(cores_max: int, zpath: str):
     )
 
 
+def _replicate(base, spark, reps: int):
+    """Replicate a (conv_id, turn_idx, role, text) frame ``reps``× with
+    replica-unique conv ids and spread it over salted shards — the one
+    shared tail so both corpus builders measure identically-shaped jobs."""
+    from pyspark.sql import functions as F
+
+    return (
+        base.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))
+        .select(F.concat_ws("-", "conv_id", "rep").alias("conv_id"),
+                "turn_idx", "role", "text")
+        .repartition(32, "conv_id", "turn_idx")  # salted spread
+    )
+
+
 def _corpus(spark, reps: int):
     """The cohort study's transcript corpus: documents as turns,
     replicated ``reps``× with replica-unique conv ids."""
@@ -177,12 +191,7 @@ def _corpus(spark, reps: int):
         F.col("source").alias("conv_id"),
         F.col("doc_id").cast("int").alias("turn_idx"),
         F.lit("user").alias("role"), "text")
-    return (
-        docs.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))
-        .select(F.concat_ws("-", "conv_id", "rep").alias("conv_id"),
-                "turn_idx", "role", "text")
-        .repartition(32, "conv_id", "turn_idx")  # salted spread
-    )
+    return _replicate(docs, spark, reps)
 
 
 def _corpus_transcripts(spark, reps: int):
@@ -193,20 +202,13 @@ def _corpus_transcripts(spark, reps: int):
     Exercises the full fastbatch stage-1/stage-2/fallback composition
     on the real cluster, where `_corpus` (single-line documents) only
     ever hits stage 1."""
-    from pyspark.sql import functions as F
-
     from sparkocr.fixtures import turns_pandas
 
     base = spark.createDataFrame(
         turns_pandas(seed=3, n_convs=40)[
             ["conv_id", "turn_idx", "role", "text"]]
     )
-    return (
-        base.crossJoin(spark.range(reps).select(F.col("id").alias("rep")))
-        .select(F.concat_ws("-", "conv_id", "rep").alias("conv_id"),
-                "turn_idx", "role", "text")
-        .repartition(32, "conv_id", "turn_idx")  # salted spread
-    )
+    return _replicate(base, spark, reps)
 
 
 def run_pass(cores_max: int, reps: int, zpath: str,

@@ -247,8 +247,9 @@ def batch_extract_simple(
         try:
             _decode_flat(rows, canons, metas, out, config)
         except Exception:
-            # poison batch (e.g. lone surrogate breaking the joint
-            # encode): retry nothing here — per-row fallback preserves
+            # defensive backstop for a poison batch (no known trigger —
+            # surrogates are gated up front and entity decode/NFC cannot
+            # mint them): retry nothing here — per-row fallback preserves
             # the per-turn path's own poison-row containment
             for i, _, _ in rows:
                 out[i] = None

@@ -22,11 +22,11 @@ def _assert_matches(texts, config=FLAGSHIP_CONFIG, min_eligible=None):
             continue
         n_fast += 1
         want = extract_turn(t, config)
-        assert r.error_code == want.error_code, t
-        assert r.full_text == want.full_text, t
-        assert len(r.blocks) == len(want.blocks), t
+        assert r.error_code == want.error_code, ascii(t)
+        assert r.full_text == want.full_text, ascii(t)
+        assert len(r.blocks) == len(want.blocks), ascii(t)
         for a, b in zip(r.blocks, want.blocks):
-            assert a == b, (t, a, b)  # frozen dataclass: bitwise fields
+            assert a == b, (ascii(t), a, b)  # frozen dataclass: bitwise fields
     if min_eligible is not None:
         assert n_fast >= min_eligible, (n_fast, min_eligible)
     return n_fast
@@ -200,14 +200,7 @@ def test_hypothesis_full_unicode_differential(texts):
     category. Caught a real divergence once: a narrow lone-surrogate
     turn hit the _EMPTY short-circuit before the UTF-32 encode the
     per-turn path fails on."""
-    got = batch_extract_simple(list(texts), FLAGSHIP_CONFIG)
-    for t, r in zip(texts, got):
-        if r is None:
-            continue
-        w = extract_turn(t, FLAGSHIP_CONFIG)
-        assert r.error_code == w.error_code, repr(t)
-        assert r.full_text == w.full_text, repr(t)
-        assert r.blocks == w.blocks, repr(t)
+    _assert_matches(list(texts))
 
 
 @pytest.mark.parametrize("chunk", [1, 7, 64])
