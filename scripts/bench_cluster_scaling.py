@@ -197,7 +197,7 @@ def _corpus(spark, reps: int):
 def _corpus_transcripts(spark, reps: int):
     """Transcript-SHAPED corpus (the north rule's actual input mix):
     the deterministic `fixtures.turns_pandas` conversations — ~16%
-    single-line chat, ~62% multi-line plain, ~12% markup, plus tool/
+    single-line chat, ~53% multi-line plain, ~12% markup, plus tool/
     document rows — replicated ``reps``× with replica-unique conv ids.
     Exercises the full fastbatch stage-1/stage-2/fallback composition
     on the real cluster, where `_corpus` (single-line documents) only
