@@ -214,3 +214,26 @@ def test_batch_split_invariance(chunk):
         parts.extend(batch_extract_simple(texts[s:s + chunk],
                                           FLAGSHIP_CONFIG))
     assert whole == parts
+
+
+def test_transcript_mix_shares_match_documented():
+    """Pin the corpus-mix shares the scaling docs cite (SCALING_NOTES /
+    bench_cluster_scaling docstring: ~16% single-line chat, ~53%
+    multi-line plain, ~12% markup, ~68% total fast-path coverage on the
+    benchmark fixture). A round-4 review found the multi-line figure
+    had drifted to a conflated number; this keeps the documented mix
+    honest and catches fixture-generator regressions."""
+    from sparkocr.fastbatch import _eligible, _eligible_multiline
+    from sparkocr.fixtures import turns_pandas
+
+    # the exact fixture the real-cluster transcript bench replicates
+    df = turns_pandas(seed=3, n_convs=40)
+    n = len(df)
+    s1 = sum(_eligible(t) for t in df["text"]) / n
+    s2 = sum(_eligible_multiline(t) for t in df["text"]) / n
+    markup = sum(isinstance(t, str) and "<" in t for t in df["text"]) / n
+    assert n == 1263  # 1263 x reps 800 = 1,010,400 turns in the notes
+    assert 0.13 <= s1 <= 0.19, s1         # ~16% single-line chat
+    assert 0.49 <= s2 <= 0.57, s2         # ~53% multi-line plain
+    assert 0.09 <= markup <= 0.16, markup  # ~12% markup
+    assert 0.62 <= s1 + s2 <= 0.74        # ~68% total fast-path
