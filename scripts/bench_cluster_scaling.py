@@ -29,7 +29,13 @@ Jobs measured per pass (interleaved A/B, best-of-``--passes``):
   docs/sec.
 
 Usage: python scripts/bench_cluster_scaling.py [--reps 40] [--passes 2]
-       [--keep-cluster] [--skip-substr]
+       [--keep-cluster] [--skip-substr] [--transcripts]
+
+The defaults give a ~50k-turn smoke run. The numbers recorded in
+BENCH/SCALING_NOTES.md used sustained corpora — ``--reps 800
+--transcripts`` (1,010,400 turns, raw 0.923) and ``--reps 400`` on the
+documents corpus (2M turns, raw 0.875); short runs under-measure the
+larger cluster (per-executor JIT warmup) and are not comparable.
 
 Prints one JSON line. The cluster is torn down on exit unless
 ``--keep-cluster`` or it was already running (an external master on

@@ -79,9 +79,11 @@ def _no_surrogates(t: str) -> bool:
     short-circuits (empty/boiler/narrow) would otherwise answer before
     ever encoding, so surrogate-bearing turns must fall back up front
     to reproduce that error behavior exactly. ascii fast-gate first;
-    the utf-16 probe is a C loop that raises on any surrogate code
-    unit (paired ones don't exist in a str — Python never pairs them)
-    and passes astral-plane characters."""
+    the utf-16 probe is a C loop that raises on ANY surrogate code
+    unit — lone or adjacent-paired (a str CAN hold '\\ud83d\\ude00'
+    via surrogatepass round-trips; both shapes must fall back, since
+    both make the per-turn UTF-32 encode raise) — and passes
+    astral-plane characters."""
     if t.isascii():
         return True
     try:
