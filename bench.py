@@ -403,13 +403,15 @@ def main() -> None:
         # ended — the pinned BASELINE.md is a quiet-box (<1) reference,
         # so a loaded run is visibly non-comparable in the artifact
         "load1_at_start": load_start,
-        "load1_at_end": _load1(),
     }
     if RUN_SCALING:
         try:
             result.update(run_scaling())
         except Exception as e:  # headline results must still reach stdout
             _log(f"scaling phase failed: {e}")
+    # captured AFTER the scaling cohort so the artifact describes the
+    # whole run's box conditions, not just the headline phase
+    result["load1_at_end"] = _load1()
     try:
         write_baseline_md(result)
     except Exception as e:

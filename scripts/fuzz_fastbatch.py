@@ -16,15 +16,24 @@ Last full run (2026-08-18, 3000 batches x 64 rows, seeds 1000..3999):
 
 Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size]
 """
+import importlib.util
 import os
 import random
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 from sparkocr.config import DEFAULT_CONFIG, FLAGSHIP_CONFIG
-from sparkocr.fastbatch import batch_extract_simple
-from sparkocr.pipeline import extract_turn
+
+# ONE comparator home: reuse the committed suite's _assert_matches so the
+# sustained harness can never enforce a weaker byte-exactness contract
+# than CI (e.g. if Block grows a field, both update together)
+_spec = importlib.util.spec_from_file_location(
+    "_test_fastbatch", os.path.join(_REPO, "tests", "test_fastbatch.py"))
+_tfb = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_tfb)
+assert_matches = _tfb._assert_matches
 
 PLAIN = (
     list("abcdefgh XYZ 0123456789")
@@ -69,18 +78,12 @@ def main(n_batches=2000, batch_size=64, seed0=1000):
             k = rng.randint(0, 60)
             texts.append("".join(rng.choice(pieces) for _ in range(k)))
         name, cfg = CONFIGS[bi % len(CONFIGS)]
-        got = batch_extract_simple(list(texts), cfg)
-        for t, r in zip(texts, got):
-            total += 1
-            if r is None:
-                continue
-            fast += 1
-            want = extract_turn(t, cfg)
-            assert r.error_code == want.error_code, (name, ascii(t))
-            assert r.full_text == want.full_text, (name, ascii(t))
-            assert len(r.blocks) == len(want.blocks), (name, ascii(t))
-            for a, b in zip(r.blocks, want.blocks):
-                assert a == b, (name, ascii(t), a, b)
+        try:
+            n_fast = assert_matches(texts, cfg)
+        except AssertionError as e:
+            raise AssertionError(f"config {name}: {e}") from e
+        total += len(texts)
+        fast += n_fast
         if (bi + 1) % 200 == 0:
             print(f"batch {bi+1}/{n_batches}: {total} rows, "
                   f"{fast} fast ({fast/total:.1%}), no divergence",

@@ -316,6 +316,15 @@ def with_rank(df: DataFrame, conv_col: str = "conv_id",
         .withColumn("__pid", F.shiftright("__mid", 33))
         .withColumn("__lrn",
                     F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1)
+        # pin ONE evaluation: the offsets aggregate below and the join's
+        # stream side both read this subplan, and range partitioning
+        # samples nondeterministically — without the checkpoint their
+        # agreement depends on Spark's exchange reuse collapsing the two
+        # reads (spark.sql.exchange.reuse; an AQE replan can also break
+        # stage dedup), and a silent mismatch would yield wrong ranks.
+        # The materialization cost is acceptable for an ordering helper
+        # (ordered() remains the no-barrier data-path API).
+        .localCheckpoint(eager=True)
     )
     # one row per partition: the offset table is partition-count-sized,
     # so the global window over it is trivially cheap

@@ -68,9 +68,13 @@ from .config import (
 from .detect import Box, merge_overlapping_boxes
 from .pipeline import Block, TurnResult
 from .recognize import canonicalize, classify_block, decode
-from .textgrid import _NL, _PUNCT_LUT, _WORD_LUT, is_boiler_line
+from .textgrid import _NL, is_boiler_line, punct_mask, word_char_mask
 
-_EMPTY = TurnResult(blocks=[], full_text="")
+def _empty() -> TurnResult:
+    """Fresh empty result per row — the per-turn path also returns a
+    new TurnResult each time, and a shared singleton's ``blocks`` list
+    would be mutable state aliased across every empty row."""
+    return TurnResult(blocks=[], full_text="")
 
 
 def _no_surrogates(t: str) -> bool:
@@ -210,12 +214,12 @@ def batch_extract_simple(
         if _eligible(t):
             # stage 1: single line — one box by construction
             if ("[" in t or "=" in t) and is_boiler_line(t):
-                out[i] = _EMPTY
+                out[i] = _empty()
                 continue
             c0 = len(t) - len(t.lstrip(" \t"))
             c1 = len(t.rstrip(" \t")) - 1
             if c1 - c0 <= MIN_BOX_SIZE:
-                out[i] = _EMPTY
+                out[i] = _empty()
                 continue
             left = max(c0 - border, 0)
             right = min(c1 + border, len(t) - 1)
@@ -239,7 +243,7 @@ def batch_extract_simple(
                 continue  # a crop minted markup: per-turn path
             r_canons, r_metas = got
             if not r_canons:
-                out[i] = _EMPTY
+                out[i] = _empty()
                 continue
             rows.append((i, len(canons), len(canons) + len(r_canons)))
             canons.extend(r_canons)
@@ -271,8 +275,8 @@ def _decode_flat(rows, canons, metas, out, config: EngineConfig) -> None:
     # char_scores for the markup-free case (textgrid.char_scores with
     # mk all-false): word/space/nl → SCORE_WORD, punct → SCORE_PUNCT,
     # rest SCORE_OTHER
-    word = np.take(_WORD_LUT, cp.astype(np.intp, copy=False), mode="clip")
-    punct = np.take(_PUNCT_LUT, cp.astype(np.intp, copy=False), mode="clip")
+    word = word_char_mask(cp)
+    punct = punct_mask(cp)
     nl = cp == _NL
     space = cp == 0x20
     scores = np.full(len(cp), SCORE_OTHER, dtype=np.float32)
