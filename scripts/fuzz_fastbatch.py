@@ -16,24 +16,22 @@ Last full run (2026-08-18, 3000 batches x 64 rows, seeds 1000..3999):
 
 Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size]
 """
-import importlib.util
 import os
 import random
 import sys
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 from sparkocr.config import DEFAULT_CONFIG, FLAGSHIP_CONFIG
 
-# ONE comparator home: reuse the committed suite's _assert_matches so the
-# sustained harness can never enforce a weaker byte-exactness contract
-# than CI (e.g. if Block grows a field, both update together)
-_spec = importlib.util.spec_from_file_location(
-    "_test_fastbatch", os.path.join(_REPO, "tests", "test_fastbatch.py"))
-_tfb = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(_tfb)
-assert_matches = _tfb._assert_matches
+# ONE comparator home shared with the committed suite
+# (tests/fastbatch_compare.py) so the sustained harness can never
+# enforce a weaker byte-exactness contract than CI; the module is
+# dependency-light (no pytest/hypothesis), so this harness stays
+# runnable from a bare interpreter.
+from fastbatch_compare import assert_matches
 
 PLAIN = (
     list("abcdefgh XYZ 0123456789")

@@ -11,25 +11,9 @@ from hypothesis import given, settings, strategies as st
 
 from sparkocr.config import DEFAULT_CONFIG, FLAGSHIP_CONFIG
 from sparkocr.fastbatch import batch_extract_simple
-from sparkocr.pipeline import extract_turn
 
-
-def _assert_matches(texts, config=FLAGSHIP_CONFIG, min_eligible=None):
-    got = batch_extract_simple(list(texts), config)
-    n_fast = 0
-    for t, r in zip(texts, got):
-        if r is None:
-            continue
-        n_fast += 1
-        want = extract_turn(t, config)
-        assert r.error_code == want.error_code, ascii(t)
-        assert r.full_text == want.full_text, ascii(t)
-        assert len(r.blocks) == len(want.blocks), ascii(t)
-        for a, b in zip(r.blocks, want.blocks):
-            assert a == b, (ascii(t), a, b)  # frozen dataclass: bitwise fields
-    if min_eligible is not None:
-        assert n_fast >= min_eligible, (n_fast, min_eligible)
-    return n_fast
+# shared comparator home (also used by scripts/fuzz_fastbatch.py)
+from fastbatch_compare import assert_matches as _assert_matches
 
 
 def test_simple_turns_match_and_take_the_fast_path():
