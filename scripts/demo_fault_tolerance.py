@@ -11,9 +11,10 @@ channels → Spark action boundary + task retry").
 The demo also encodes a REAL caveat, learned the honest way: the input
 must NOT be `localCheckpoint`ed — local checkpoint blocks live in
 executor storage and die with the executor
-(`CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`), which is precisely why every
-scale-shape docstring in this package says to swap `localCheckpoint`
-for a reliable checkpoint dir / intermediate table on a real cluster.
+(`CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`), which is precisely why the
+package's barriers flow through `sparkocr.barrier.pin`: with
+`sc.setCheckpointDir` configured every pin becomes a reliable
+checkpoint that survives executor loss (tests/test_barrier.py).
 
 Usage: python scripts/demo_fault_tolerance.py   (starts the standard
 8-worker cluster if none is running — the job itself is capped at 4

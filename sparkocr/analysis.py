@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from .barrier import pin
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -587,7 +589,7 @@ def strip_boilerplate_lines(
     hashed = lines.select(
         "doc", "pos", line_h.alias("line_h"),
         F.length("line").alias("line_len")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     hot = (
         hashed.where(F.col("line_len") >= min_line_chars)
         .groupBy("line_h")
@@ -775,7 +777,7 @@ def dedup_paragraphs(
     hashed = paras.select(
         "doc", "pos", para_h.alias("para_h"),
         F.length("para").alias("para_len"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     eligible = hashed.where(F.col("para_len") >= min_para_chars)
     first = (
         eligible.groupBy("para_h")
@@ -1359,7 +1361,7 @@ def assemble_sft_pairs(
     # boundary the per-conv applyInPandas would execute once per
     # consumer — the rows are skinny (5 scalars per target turn), so
     # the materialization is cheap at any scale
-    windows = windows.localCheckpoint(eager=True)
+    windows = windows.transform(pin)
     t = df.select(
         F.col(conv_col).cast("string").alias("conv"),
         F.col(order_col).cast("long").alias("t_turn"),
@@ -1777,7 +1779,7 @@ def neardup_components(
     label in its neighborhood; converged when no label changes. Rounds ≈
     graph diameter (near-dup clusters are shallow); each round is one
     join + one partial-agg groupBy — the standard DataFrame-native CC at
-    any scale. Labels are materialized per round (localCheckpoint) so
+    any scale. Labels are materialized per round (``barrier.pin``) so
     the plan does not grow with iterations; convergence is an exact
     count of changed labels — the loop RAISES if the graph has not
     converged (a silent early exit would return split components).
@@ -1797,12 +1799,12 @@ def neardup_components(
         )
         .select("e.src", "e.dst")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     changed = -1  # defined even if max_iters <= 0 (error path below)
     for _ in range(max_iters + 1):
@@ -1819,7 +1821,7 @@ def neardup_components(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         changed = (
             new_labels.alias("n")
@@ -1935,13 +1937,14 @@ def ngram_jaccard_pairs(
     only)."""
     # the (filtered) posting list feeds three consumers (sizes + both
     # self-join sides); without materialization Catalyst re-executes the
-    # tokenize+shingle explode for each. localCheckpoint (eager) stores
-    # it once and — unlike persist() — its storage is reclaimed by the
+    # tokenize+shingle explode for each. The eager pin stores it once
+    # and — unlike persist() — its storage is reclaimed by the
     # ContextCleaner as soon as the returned plan is garbage, so repeated
     # calls in one session cannot accumulate session-lifetime caches
-    # (round-1 review finding). At real cluster scale prefer a reliable
-    # checkpoint dir (sc.setCheckpointDir + .checkpoint()) so executor
-    # loss cannot invalidate the materialized posting mid-job.
+    # (round-1 review finding). With a checkpoint dir set
+    # (sc.setCheckpointDir) the pin is a reliable checkpoint
+    # automatically (sparkocr.barrier), so executor loss cannot
+    # invalidate the materialized posting mid-job.
     posting = _shingle_posting(df, key_col, text_col, n)
     if max_df is not None:
         # anti-join against the (small) hot-gram list: a partial-agg
@@ -1954,7 +1957,7 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         posting = posting.join(hot, "gram", "left_anti")
-    posting = posting.localCheckpoint(eager=True)
+    posting = posting.transform(pin)
     sizes = posting.groupBy("doc").agg(F.count("*").alias("n_grams"))
     common = (
         posting.alias("a")
@@ -2092,11 +2095,12 @@ def minhash_lsh_pairs(
     # (round-1 review finding — at 100 TB recomputing a full-corpus
     # explode+agg to save a small cache is the wrong trade). The
     # signature table is tiny relative to the corpus (n_hashes longs per
-    # doc, the text never leaves the map side); localCheckpoint storage
-    # is reclaimed when the plan is garbage — at real cluster scale use a
-    # reliable checkpoint dir instead so executor loss can't invalidate it.
+    # doc, the text never leaves the map side); pin storage is
+    # reclaimed when the plan is garbage, and with a checkpoint dir set
+    # the pin is a reliable checkpoint (sparkocr.barrier), so executor
+    # loss can't invalidate it.
     sig = minhash_signatures(df, key_col, text_col, n_shingle, n_hashes) \
-        .localCheckpoint(eager=True)
+        .transform(pin)
     band_hash = [
         F.xxhash64(
             *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
@@ -2228,7 +2232,7 @@ def simhash_neardup_pairs(
     # without this the per-token pandas UDF would re-run for each
     sh = simhash64(df, key_col, text_col).select(
         F.col(key_col).alias("doc"), "simhash"
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     bands = F.array(*[
         F.struct(
             F.lit(i).alias("band_no"),

@@ -17,6 +17,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .barrier import pin
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -263,7 +265,7 @@ def ivf_index(
     # assignment); materialize it once so each iteration reads the
     # checkpoint, not the source plan (round-2 judge finding: two extra
     # full corpus scans at default iters)
-    df = df.localCheckpoint(eager=True)
+    df = df.transform(pin)
     for _ in range(iters):
         assigned = df.withColumn("list_id", _assign_udf(cents)(F.col(vec_col)))
         rows = (

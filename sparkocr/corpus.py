@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .barrier import pin
+
 from sparkocr.analysis import (
     c4_line_filters,
     canonicalize_text,
@@ -77,10 +79,11 @@ def build_training_corpus(
     Materialization policy: text-rewriting stages that consume their
     input more than once internally (substring dedup reads the corpus
     for the window table and again for the rewrite; paragraph dedup
-    likewise) read from an eagerly localCheckpoint'ed boundary so the
-    upstream rewrite never executes twice. On a real cluster swap
-    ``localCheckpoint`` for a checkpoint dir / intermediate table —
-    the composition is unchanged.
+    likewise) read from an eagerly pinned boundary (``barrier.pin``)
+    so the upstream rewrite never executes twice. On a real cluster set
+    a checkpoint dir (``sc.setCheckpointDir``) — every pin upgrades to
+    a reliable, executor-loss-proof checkpoint automatically — or
+    write intermediate tables; the composition is unchanged.
 
     Everything downstream of ``documents`` moves only
     (id, source, n_tokens) rows; document text never shuffles in the
@@ -118,7 +121,7 @@ def build_training_corpus(
         strip_boilerplate_lines(docs, "doc_id", min_df=boiler_min_df)
         .select(F.col("doc").alias("doc_id"),
                 F.col("clean_text").alias("text"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     funnel.append(("boilerplate_strip", stripped))
 
@@ -132,7 +135,7 @@ def build_training_corpus(
             .where(~F.col("dropped"))
             .select(F.col("doc").alias("doc_id"),
                     F.col("clean_text").alias("text"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         funnel.append(("c4_clean", stripped))
     # 2. duplicated-passage removal (ExactSubstr; reads its input twice)
@@ -140,7 +143,7 @@ def build_training_corpus(
         dedup_substrings(stripped, "doc_id", min_len=substr_min_len)
         .select(F.col("doc").alias("doc_id"),
                 F.col("clean_text").alias("text"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     funnel.append(("substr_dedup", passages))
     # 3. paragraph-level first-occurrence dedup (reads its input twice)
@@ -159,7 +162,7 @@ def build_training_corpus(
         .select("doc_id", "source", "text",
                 F.col("n_tokens").cast("long").alias("n_tokens"))
         # fans out below: keeper join, contamination scan, final output
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     funnel.append(("quality_gate", gated))
 
@@ -178,7 +181,7 @@ def build_training_corpus(
             .select(F.col("doc").alias("doc_id"))
         )
         gated = gated.join(keep, "doc_id",
-                           "left_semi").localCheckpoint(eager=True)
+                           "left_semi").transform(pin)
         funnel.append(("gopher_gate", gated))
 
     # 4a2. optional trained-classifier gate (the GPT-3/LLaMA recipe's
@@ -192,7 +195,7 @@ def build_training_corpus(
             .select("doc_id")
         )
         gated = gated.join(keep, "doc_id",
-                           "left_semi").localCheckpoint(eager=True)
+                           "left_semi").transform(pin)
         funnel.append(("classifier_gate", gated))
 
     # 4b. optional CCNet-style perplexity gate. Default LM: trained on
@@ -212,7 +215,7 @@ def build_training_corpus(
         # this boundary the scoring join — and, for the default self-LM,
         # the LM's own token aggregation — would re-execute per consumer
         gated = gated.join(keep, "doc_id",
-                           "left_semi").localCheckpoint(eager=True)
+                           "left_semi").transform(pin)
         funnel.append(("perplexity_gate", gated))
 
     # 5. whole-document exact dedup (md5 digest shuffle, keeper wins)
@@ -223,7 +226,7 @@ def build_training_corpus(
         # the funnel count materializes this boundary anyway; keeping
         # the checkpoint lets the next stage and the final outputs
         # reuse it instead of re-running the dedup join per consumer
-        kept = kept.localCheckpoint(eager=True)
+        kept = kept.transform(pin)
     funnel.append(("exact_dedup", kept))
 
     # 6. benchmark decontamination (drop any doc sharing an n-gram
@@ -235,7 +238,7 @@ def build_training_corpus(
         kept = kept.join(contaminated.withColumnRenamed("doc", "doc_id"),
                          "doc_id", "left_anti")
         if with_funnel:
-            kept = kept.localCheckpoint(eager=True)
+            kept = kept.transform(pin)
         funnel.append(("decontamination", kept))
 
     # 7. mixture draw on (id, source, n_tokens) rows only
@@ -244,7 +247,7 @@ def build_training_corpus(
             "doc_id")
         kept = kept.join(chosen, "doc_id", "left_semi")
         if with_funnel:
-            kept = kept.localCheckpoint(eager=True)
+            kept = kept.transform(pin)
         funnel.append(("mixture", kept))
 
     documents = kept
@@ -265,7 +268,7 @@ def build_training_corpus(
     if with_funnel:
         # the retention funnel every production build reports: one
         # count per stage boundary. Every stage frame except the raw
-        # input is localCheckpoint'ed (the gates always, the tail
+        # input is pinned (the gates always, the tail
         # stages above when the funnel is on), so each count scans
         # materialized data; the input count scans the caller's plan
         # once — deliberately not checkpointed, it may be the raw
@@ -319,9 +322,9 @@ def build_sft_corpus(
     Scale shape: turn text moves exactly once (into ``pairs``);
     validation, dedup, decontamination keys, and windowing all run on
     skinny or hashed rows. The post-validation table is materialized
-    once (it fans out to every stage); on a real cluster swap that
-    ``localCheckpoint`` for a checkpoint dir / intermediate table, per
-    this module's standing policy. Token counts are whitespace tokens
+    once (it fans out to every stage); on a real cluster set a
+    checkpoint dir so that pin becomes a reliable checkpoint, per this
+    module's standing policy. Token counts are whitespace tokens
     computed in codegen; swap in a real tokenizer count column
     upstream if the training stack needs exact budget parity."""
     from sparkocr.analysis import (assemble_sft_pairs, dedup_conversations,
@@ -346,7 +349,7 @@ def build_sft_corpus(
     base = turns.select(
         "conv_id", "turn_idx", "role", "text",
         toks.cast("long").alias("n_tokens"),
-    ).localCheckpoint(eager=True)  # fans out: dedup keys, windows, pairs
+    ).transform(pin)  # fans out: dedup keys, windows, pairs
     funnel: list[tuple[str, DataFrame]] = [("input", base)]
 
     if dedup:
@@ -360,7 +363,7 @@ def build_sft_corpus(
             # counting materializes it anyway — keep the checkpoint so
             # windows/pairs/stats reuse it rather than re-running the
             # dedup join
-            base = base.localCheckpoint(eager=True)
+            base = base.transform(pin)
         funnel.append(("conversation_dedup", base))
 
     if decontamination_probes:
@@ -381,7 +384,7 @@ def build_sft_corpus(
         )
         base = base.join(hit, "conv_id", "left_anti")
         if with_funnel:
-            base = base.localCheckpoint(eager=True)
+            base = base.transform(pin)
         funnel.append(("decontamination", base))
 
     # materialized HERE so the returned windows and the pair assembly
@@ -390,7 +393,7 @@ def build_sft_corpus(
     # over already-materialized skinny rows, not a recompute)
     windows = sft_context_windows(
         base, budget_tokens,
-        target_role=target_role).localCheckpoint(eager=True)
+        target_role=target_role).transform(pin)
     pairs = assemble_sft_pairs(base, windows)
     stats = (
         base.groupBy("role")

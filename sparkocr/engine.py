@@ -38,6 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .barrier import pin
 from .config import DEFAULT_CONFIG, FLAGSHIP_CONFIG, EngineConfig
 from .detect import TurnGrid, box_span, crop_box, find_text_boxes
 from .pipeline import extract_turn
@@ -296,35 +297,32 @@ def with_rank(df: DataFrame, conv_col: str = "conv_id",
     ordering invariant every comparison and ordered sink uses (the
     index-restoring reassembly analog, efficient_cropping.rs:186-202).
 
-    Computed with ONE full-data shuffle (the range partition itself):
-    ``monotonically_increasing_id()`` projected on top of
-    :func:`ordered`'s sorted output encodes (partition id << 33) +
-    in-order local row offset — a narrow, zero-exchange operation —
-    and only the partition-count-sized offset table (one count row per
-    partition) is aggregated and broadcast back: rank = partition
-    offset + local row number. Range partitioning puts every key of
-    partition p before every key of partition p+1, so the stitched
-    rank equals the global row_number; ties on the full key get an
-    arbitrary (but stable per run) order, exactly like the
-    single-window form this replaces. (A ``Window.partitionBy(pid)``
-    formulation would hash-exchange the whole dataset a second time —
-    the window's required hash partitioning never matches the range
-    partitioning already in place.)"""
-    local = (
+    Cost model (honest): one full-data shuffle (the range partition)
+    PLUS an eager materialization barrier — calling this runs a Spark
+    job immediately and pins the sorted dataset (checkpoint storage)
+    for the lifetime of the returned plan. The barrier is what makes
+    the rank deterministic: the offsets aggregate and the join's
+    stream side both read the sorted subplan, and range partitioning
+    samples nondeterministically — without the pin their agreement
+    would depend on Spark's exchange reuse collapsing the two reads
+    (an AQE replan can break stage dedup), silently corrupting ranks.
+    Rank math: ``monotonically_increasing_id()`` over the pinned sort
+    encodes (partition id << 33) + local row offset — narrow, zero
+    extra Exchange — and only the partition-count-sized offset table
+    is aggregated and broadcast back: rank = partition offset + local
+    row number; ties on the full key get an arbitrary (but pinned)
+    order, like the single-window form this replaces.
+    Use :func:`ordered` in data paths that only need sorted output —
+    it has no barrier and no storage footprint; reach for with_rank
+    only when the materialized global rank itself is the product. On
+    a real cluster set a checkpoint dir (``sc.setCheckpointDir``) so
+    the pin survives executor loss (see ``sparkocr.barrier``)."""
+    local = pin(
         ordered(df, conv_col, turn_col)
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.shiftright("__mid", 33))
         .withColumn("__lrn",
                     F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1)
-        # pin ONE evaluation: the offsets aggregate below and the join's
-        # stream side both read this subplan, and range partitioning
-        # samples nondeterministically — without the checkpoint their
-        # agreement depends on Spark's exchange reuse collapsing the two
-        # reads (spark.sql.exchange.reuse; an AQE replan can also break
-        # stage dedup), and a silent mismatch would yield wrong ranks.
-        # The materialization cost is acceptable for an ordering helper
-        # (ordered() remains the no-barrier data-path API).
-        .localCheckpoint(eager=True)
     )
     # one row per partition: the offset table is partition-count-sized,
     # so the global window over it is trivially cheap

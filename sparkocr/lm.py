@@ -46,6 +46,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .barrier import pin
+
 # Whitespace-run splitter with the class spelled out: `\s` diverges
 # between Java regex (Spark) and RE2 (the DuckDB oracle) on \x0b.
 _WS_RE = "[ \t\n\r\f\x0b]+"
@@ -472,7 +474,7 @@ def train_quality_classifier(
     base = labeled.select(
         "_rid", "y",
         _gram_buckets(F.col(text_col), n_buckets).alias("_bs"),
-    ).where(F.size("_bs") > 0).localCheckpoint(eager=True)
+    ).where(F.size("_bs") > 0).transform(pin)
     feats = (
         base.select("_rid", F.size("_bs").alias("_n"),
                     F.explode("_bs").alias("bucket"))
@@ -480,7 +482,7 @@ def train_quality_classifier(
         .agg(F.count(F.lit(1)).alias("_c"))
         .select("_rid", "bucket",
                 (F.col("_c").cast("double") / F.col("_n")).alias("x"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     labels = base.select("_rid", "y")
     n_docs = labels.count()
@@ -514,10 +516,10 @@ def train_quality_classifier(
         # feeds the bucket gradient; margins is tiny (one row per doc).
         # Rebinding `margins` next iteration drops the only reference
         # to this checkpoint, so the ContextCleaner reclaims its blocks
-        # as the loop advances (the package's localCheckpoint lifecycle
+        # as the loop advances (the package's pin lifecycle
         # convention — see analysis.py's CC loop); storage high-water
         # is one margins snapshot plus base/feats, not n_iters of them.
-        margins = margins.localCheckpoint(eager=True)
+        margins = margins.transform(pin)
         agg = margins.agg(
             F.avg(-(F.col("y") * F.log(F.greatest(F.col("p"),
                                                   F.lit(1e-12)))
