@@ -1941,8 +1941,9 @@ def ngram_jaccard_pairs(
     # and — unlike persist() — its storage is reclaimed by the
     # ContextCleaner as soon as the returned plan is garbage, so repeated
     # calls in one session cannot accumulate session-lifetime caches
-    # (round-1 review finding). With a checkpoint dir set
-    # (sc.setCheckpointDir) the pin is a reliable checkpoint
+    # (round-1 review finding; reliable-pin FILES need
+    # cleanCheckpoints=true, which get_spark sets). With a checkpoint
+    # dir set (sc.setCheckpointDir) the pin is a reliable checkpoint
     # automatically (sparkocr.barrier), so executor loss cannot
     # invalidate the materialized posting mid-job.
     posting = _shingle_posting(df, key_col, text_col, n)

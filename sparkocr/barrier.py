@@ -2,37 +2,101 @@
 evaluation of a nondeterministic subplan (range-partition sampling,
 sort ties, sampled signatures) before multiple readers consume it.
 
-Two physical forms, chosen by session configuration:
+Physical form, chosen by ``spark.sparkocr.pin`` (runtime-settable):
 
-- ``SparkContext.setCheckpointDir`` configured → **reliable
-  checkpoint**: the pinned data is written to the checkpoint dir
-  (HDFS/object store on a real cluster), so executor loss — dynamic
-  allocation, spot preemption, node failure — is survivable: lost
-  partitions re-read from storage instead of failing the job.
-  This is the 100 TB posture.
-- no checkpoint dir (local runs, tests, the sandbox) → **executor-local
-  checkpoint**: fast, no external storage needed, with the documented
-  caveat that checkpoint blocks die with their executor
-  (scripts/demo_fault_tolerance.py pins this behavior).
+- ``auto`` (default): reliable checkpoint when
+  ``SparkContext.setCheckpointDir`` is configured, else executor-local
+  checkpoint.
+- ``local``: always ``localCheckpoint`` — the opt-out for applications
+  that set a checkpoint dir for their OWN purposes (GraphFrames,
+  streaming state) and do not want sparkocr's internal barriers
+  rerouted to reliable storage.
+- ``reliable``: always a reliable checkpoint; raises if no checkpoint
+  dir is configured (fail-fast beats silently losing fault tolerance).
+
+Why reliable at scale: executor-local checkpoint blocks die with their
+executor (dynamic allocation, spot preemption, node failure —
+scripts/demo_fault_tolerance.py pins the resulting
+CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND abort); a reliable checkpoint
+re-reads lost partitions from the checkpoint dir instead. This is the
+100 TB posture.
+
+Cost model (reliable, eager): Spark's ``Dataset.checkpoint`` runs the
+materializing count job and then a SECOND job that writes the
+checkpoint files — and that write job would recompute the whole
+subplan from scratch (the long-standing SPARK-8582 behavior). ``pin``
+therefore persists the input around the eager checkpoint so the write
+job reads cached blocks, then unpersists: one compute, one cache scan,
+one write. Checkpoint FILES are reclaimed by the ContextCleaner only
+when ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` —
+``sparkocr.session.get_spark`` sets it, and ``pin`` warns once per
+process if a foreign session left it off (otherwise iterative loops —
+connected components, classifier GD — would leak one snapshot per
+round to the checkpoint dir).
 
 Eager by default, deliberately: a lazy barrier leaves a window where
 two branches of the same action can recompute the subplan and observe
 DIFFERENT data (exactly the silent-wrong-answer mode the barrier
 exists to close). Eager materialization closes the window before any
-consumer runs; the cost is one up-front job, which every call site
-accepts as the price of determinism.
+consumer runs.
 """
 
 from __future__ import annotations
 
+import warnings
+
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+_MODES = ("auto", "local", "reliable")
+_warned_no_cleanup = False
+
+
+def _cleanup_enabled(sc) -> bool:
+    """Whether the ContextCleaner will reclaim superseded checkpoint
+    FILES (a startup-time SparkConf flag, not a runtime conf)."""
+    return sc.getConf().get(
+        "spark.cleaner.referenceTracking.cleanCheckpoints",
+        "false").lower() == "true"
 
 
 def pin(df: DataFrame, eager: bool = True) -> DataFrame:
-    """Pin one evaluation of ``df``: reliable ``checkpoint`` when the
-    session has a checkpoint dir configured, else ``localCheckpoint``.
-    See the module docstring for the fault-tolerance trade."""
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir():
-        return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+    """Pin one evaluation of ``df``. See the module docstring for the
+    mode selection (``spark.sparkocr.pin``) and fault-tolerance
+    trade."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    mode = spark.conf.get("spark.sparkocr.pin", "auto")
+    if mode not in _MODES:
+        raise ValueError(
+            f"spark.sparkocr.pin must be one of {_MODES}, got {mode!r}")
+    has_dir = bool(sc.getCheckpointDir())
+    if mode == "reliable" and not has_dir:
+        raise ValueError(
+            "spark.sparkocr.pin=reliable requires a checkpoint dir "
+            "(sc.setCheckpointDir) — refusing to fall back to a "
+            "non-fault-tolerant local checkpoint silently")
+    if mode == "local" or (mode == "auto" and not has_dir):
+        return df.localCheckpoint(eager=eager)
+
+    global _warned_no_cleanup
+    if not _warned_no_cleanup and not _cleanup_enabled(sc):
+        warnings.warn(
+            "reliable pin with "
+            "spark.cleaner.referenceTracking.cleanCheckpoints=false: "
+            "checkpoint files will accumulate in the checkpoint dir "
+            "until application exit (iterative operators write one "
+            "snapshot per round). sparkocr.session.get_spark sets the "
+            "flag; set it on foreign sessions too.",
+            stacklevel=2)
+        _warned_no_cleanup = True
+    if not eager:
+        return df.checkpoint(eager=False)
+    # persist around the eager checkpoint: the checkpoint-write job
+    # re-evaluates the RDD (SPARK-8582), and without the cache that
+    # means computing every pinned subplan twice
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return cached.checkpoint(eager=True)
+    finally:
+        cached.unpersist(False)

@@ -519,6 +519,8 @@ def train_quality_classifier(
         # as the loop advances (the package's pin lifecycle
         # convention — see analysis.py's CC loop); storage high-water
         # is one margins snapshot plus base/feats, not n_iters of them.
+        # (Reliable pins reclaim FILES only under cleanCheckpoints=true,
+        # which get_spark sets; barrier.pin warns otherwise.)
         margins = margins.transform(pin)
         agg = margins.agg(
             F.avg(-(F.col("y") * F.log(F.greatest(F.col("p"),

@@ -37,6 +37,11 @@ _ENGINE_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # reliable pins (sparkocr.barrier with a checkpoint dir set) rely on
+    # the ContextCleaner deleting superseded checkpoint files — without
+    # this flag (default false) iterative operators leak one snapshot
+    # per round to the checkpoint dir
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 
