@@ -27,7 +27,24 @@ checkpoint files — and that write job would recompute the whole
 subplan from scratch (the long-standing SPARK-8582 behavior). ``pin``
 therefore persists the input around the eager checkpoint so the write
 job reads cached blocks, then unpersists: one compute, one cache scan,
-one write. Checkpoint FILES are reclaimed by the ContextCleaner only
+one write. Two escape hatches:
+
+- input already cached by the CALLER (non-NONE storage level): ``pin``
+  leaves the caller's cache entry alone — persisting again would be a
+  CacheManager no-op whose paired unpersist destroys the caller's
+  entry — and checkpoints directly (the write job reads that cache).
+- ``spark.sparkocr.pin.cache=false`` (runtime-settable): skip the
+  cache entirely and accept the SPARK-8582 compute-twice, for pins
+  whose subplan is too large for executor memory + local disk (the
+  checkpoint dir on HDFS/S3 is unbounded; executor spill disk is not).
+
+Lazy reliable pins are REJECTED (``eager=False`` + reliable mode): the
+triggering consumer would read evaluation #1 while the checkpoint
+files store a recomputed evaluation #2 — the exact silent-two-answers
+mode this module exists to close. Lazy LOCAL pins remain available for
+callers that accept the documented lazy window.
+
+Checkpoint FILES are reclaimed by the ContextCleaner only
 when ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` —
 ``sparkocr.session.get_spark`` sets it, and ``pin`` warns once per
 process if a foreign session left it off (otherwise iterative loops —
@@ -79,6 +96,14 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     if mode == "local" or (mode == "auto" and not has_dir):
         return df.localCheckpoint(eager=eager)
 
+    if not eager:
+        raise ValueError(
+            "lazy reliable pin (eager=False with a checkpoint dir): the "
+            "checkpoint-write job recomputes the subplan (SPARK-8582), so "
+            "the first consumer and the checkpoint files can hold two "
+            "DIFFERENT evaluations of a nondeterministic plan. Use "
+            "eager=True (default) or spark.sparkocr.pin=local")
+
     global _warned_no_cleanup
     if not _warned_no_cleanup and not _cleanup_enabled(sc):
         warnings.warn(
@@ -90,8 +115,17 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
             "flag; set it on foreign sessions too.",
             stacklevel=2)
         _warned_no_cleanup = True
-    if not eager:
-        return df.checkpoint(eager=False)
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+        # caller already cached this plan: the checkpoint-write job
+        # reads that cache; persisting again would be a CacheManager
+        # no-op whose paired unpersist destroys the CALLER's entry
+        return df.checkpoint(eager=True)
+    if spark.conf.get(
+            "spark.sparkocr.pin.cache", "true").lower() != "true":
+        # explicit opt-out: compute-twice, zero cache storage (for
+        # subplans larger than executor memory + spill disk)
+        return df.checkpoint(eager=True)
     # persist around the eager checkpoint: the checkpoint-write job
     # re-evaluates the RDD (SPARK-8582), and without the cache that
     # means computing every pinned subplan twice

@@ -8,9 +8,11 @@ form. Every pin call site in the package flows through this helper, so
 exercising each physical form here covers the whole family's storage
 contract.
 
-Each test restores the checkpoint dir and the mode conf it touches
+Each test restores the checkpoint dir and the pin confs it touches
 (``_pin_env``), so the suite is order-independent.
 """
+
+import warnings
 
 import pytest
 from pyspark.sql import functions as F
@@ -22,13 +24,14 @@ from sparkocr.engine import with_rank
 
 @pytest.fixture
 def _pin_env(spark):
-    """Snapshot + restore the two pieces of session state pin reads:
-    the checkpoint dir and the ``spark.sparkocr.pin`` mode conf."""
+    """Snapshot + restore the session state pin reads: the checkpoint
+    dir and the ``spark.sparkocr.pin`` / ``.pin.cache`` confs."""
     sc = spark.sparkContext
     prev_dir = sc.getCheckpointDir()
     yield sc
     sc.setCheckpointDir(prev_dir)
     spark.conf.unset("spark.sparkocr.pin")
+    spark.conf.unset("spark.sparkocr.pin.cache")
 
 
 def _ckpt_files(ckpt_dir):
@@ -89,13 +92,54 @@ def test_pin_mode_reliable_requires_dir(spark, _pin_env, tmp_path):
     spark.conf.set("spark.sparkocr.pin", "reliable")
     with pytest.raises(ValueError, match="requires a checkpoint dir"):
         pin(spark.range(10))
-    # with a dir it engages, eagerly and lazily
+    # with a dir it engages
     ckpt = tmp_path / "ckpt"
     _pin_env.setCheckpointDir(str(ckpt))
     assert pin(spark.range(50)).count() == 50
     assert _ckpt_files(ckpt)
+
+
+def test_pin_lazy_reliable_rejected(spark, _pin_env, tmp_path):
+    # a lazy reliable checkpoint would let the first consumer and the
+    # checkpoint files hold two different evaluations (SPARK-8582)
+    _pin_env.setCheckpointDir(str(tmp_path / "ckpt"))
+    with pytest.raises(ValueError, match="lazy reliable pin"):
+        pin(spark.range(10), eager=False)
+    # lazy LOCAL pins remain available
+    _pin_env.setCheckpointDir(None)
     lazy = pin(spark.range(20).withColumn("x", F.lit(1)), eager=False)
     assert lazy.agg(F.sum("x")).collect()[0][0] == 20
+
+
+def test_pin_preserves_caller_cache(spark, _pin_env, tmp_path):
+    # a DataFrame the CALLER cached must stay cached after a reliable
+    # pin — pin's persist/unpersist pair must not destroy the entry
+    _pin_env.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = spark.range(300).withColumn("x", F.col("id") % 11)
+    df.cache()
+    try:
+        df.count()
+        out = pin(df)
+        assert out.count() == 300
+        lvl = df.storageLevel
+        assert lvl.useMemory or lvl.useDisk, (
+            "pin unpersisted the caller's cache")
+    finally:
+        df.unpersist(True)
+
+
+def test_pin_cache_optout(spark, _pin_env, tmp_path):
+    # spark.sparkocr.pin.cache=false: compute-twice, no cache storage —
+    # the escape hatch for subplans too large to persist
+    ckpt = tmp_path / "ckpt"
+    _pin_env.setCheckpointDir(str(ckpt))
+    spark.conf.set("spark.sparkocr.pin.cache", "false")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = pin(spark.range(200).withColumn("x", F.col("id") % 5))
+    assert out.count() == 200
+    assert jsc.getPersistentRDDs().size() <= before
+    assert _ckpt_files(ckpt)
 
 
 def test_pin_mode_invalid_raises(spark, _pin_env):
@@ -113,28 +157,11 @@ def test_pin_warns_once_without_checkpoint_cleanup(
     monkeypatch.setattr(barrier, "_warned_no_cleanup", False)
     with pytest.warns(UserWarning, match="cleanCheckpoints"):
         assert pin(spark.range(10)).count() == 10
-    with warnings_none():
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
         assert pin(spark.range(10)).count() == 10
-
-
-class warnings_none:
-    """Assert no warnings are emitted inside the block."""
-
-    def __enter__(self):
-        import warnings
-
-        self._cm = warnings.catch_warnings(record=True)
-        self._records = self._cm.__enter__()
-        import warnings as w
-
-        w.simplefilter("always")
-        return self
-
-    def __exit__(self, *exc):
-        self._cm.__exit__(*exc)
-        assert not self._records, (
-            f"unexpected warnings: {[str(r.message) for r in self._records]}")
-        return False
+    again = [r for r in rec if "cleanCheckpoints" in str(r.message)]
+    assert not again, "the leak warning must fire once per process"
 
 
 def test_pin_session_default_has_cleanup_enabled(spark):
