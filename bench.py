@@ -29,6 +29,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# the driver invokes `python bench.py` bare; config travels via env vars
+# (below). -h/--help must NOT fall through into a multi-minute bench run;
+# any other stray argument is ignored loudly rather than rejected, so an
+# unexpected driver-side argument can never zero out a round's bench.
+if any(a in ("-h", "--help") for a in sys.argv[1:]):
+    sys.stderr.write(
+        "usage: python bench.py   (no arguments)\n"
+        "config via env: SPARK_GRAFT_SF_DIR SPARK_GRAFT_CPUS "
+        "SPARK_GRAFT_BENCH_SCALING SPARK_GRAFT_SCALING_CORES "
+        "SPARK_GRAFT_BENCH_REPS SPARK_GRAFT_BENCH_BESTOF\n")
+    sys.exit(0)
+if sys.argv[1:]:
+    sys.stderr.write(f"bench.py: ignoring unexpected args {sys.argv[1:]}\n")
+
 # the driver-contract queries() memoizes the shared extraction across
 # queries (correctness-harness wall-time fix); a TIMING loop must never
 # see that cache — best-of-3 over a memoized plan measures the cache,
