@@ -109,6 +109,15 @@ def start_cluster() -> list[subprocess.Popen]:
                 f"{CLUSTER_DIR}/logs/worker{i}.log", env))
         deadline = time.time() + 90
         while True:
+            # fail fast with the right diagnosis when a worker JVM dies
+            # before registering (port conflict, missing taskset, OOM) —
+            # waiting out the full deadline hides the real cause
+            for i, p in enumerate(procs[1:]):
+                rc = p.poll()
+                if rc is not None:
+                    raise RuntimeError(
+                        f"worker {i} exited rc={rc} before registering "
+                        f"— see {CLUSTER_DIR}/logs/worker{i}.log")
             n = sum(
                 1 for i in range(N_WORKERS)
                 if os.path.exists(f"{CLUSTER_DIR}/logs/worker{i}.log")
@@ -124,16 +133,26 @@ def start_cluster() -> list[subprocess.Popen]:
     except Exception:
         # never leak a half-started cluster: orphan daemons would keep
         # :7077 bound and be mistaken for an external cluster next run.
-        # Escalate terminate → wait → kill: a JVM stuck in registration
-        # (this block's exact trigger) may also be stuck in SIGTERM.
-        for p in reversed(procs):
-            p.terminate()
-        for p in procs:
-            try:
-                p.wait(timeout=15)
-            except Exception:
-                p.kill()
+        teardown(procs)
         raise
+
+
+def teardown(procs: list) -> None:
+    """Terminate → wait → kill. THE shared cluster teardown: a JVM
+    stuck in SIGTERM (e.g. mid-registration) must not stay bound to
+    :7077 and be mistaken for an external cluster by the next run —
+    used by this script, demo_fault_tolerance, and the except path of
+    start_cluster."""
+    for p in reversed(procs):
+        try:
+            p.terminate()
+        except Exception:
+            pass
+    for p in procs:
+        try:
+            p.wait(timeout=15)
+        except Exception:
+            p.kill()
 
 
 def _zip_pkg() -> str:
@@ -191,12 +210,10 @@ def _replicate(base, spark, reps: int):
 def _corpus(spark, reps: int):
     """The cohort study's transcript corpus: documents as turns,
     replicated ``reps``× with replica-unique conv ids."""
-    from pyspark.sql import functions as F
+    from sparkocr.sources import docs_as_transcripts
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        F.col("source").alias("conv_id"),
-        F.col("doc_id").cast("int").alias("turn_idx"),
-        F.lit("user").alias("role"), "text")
+    docs = docs_as_transcripts(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"))
     return _replicate(docs, spark, reps)
 
 
@@ -290,13 +307,15 @@ def main() -> None:
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
+    # zip BEFORE starting the cluster: a zip failure (disk full) after
+    # start_cluster but outside the try/finally would leak the daemons
+    zpath = _zip_pkg()
     procs: list = []
     external = _port_open(7077)
     if not external:
         procs = start_cluster()
         print("# standalone cluster up: master + "
               f"{N_WORKERS} pinned 1-core workers", file=sys.stderr)
-    zpath = _zip_pkg()
     try:
         results: dict[int, list[dict]] = {2: [], 8: []}
         for _ in range(args.passes):
@@ -327,13 +346,7 @@ def main() -> None:
         print(json.dumps(out))
     finally:
         if procs and not args.keep_cluster:
-            for p in reversed(procs):
-                p.terminate()
-            for p in procs:
-                try:
-                    p.wait(timeout=15)
-                except Exception:
-                    p.kill()
+            teardown(procs)
 
 
 if __name__ == "__main__":

@@ -34,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from scripts.bench_cluster_scaling import (  # noqa: E402
-    _corpus, _port_open, _session, _zip_pkg, start_cluster)
+    _corpus, _port_open, _session, _zip_pkg, start_cluster, teardown)
 
 
 def main() -> int:
@@ -52,15 +52,23 @@ def main() -> int:
         n_expected = corpus.count()
 
         killed: dict = {}
+        # scope the kill to THIS application's executors: on a reused
+        # external cluster an unscoped pgrep could assassinate another
+        # app's executor and record a vacuous "fault" for this job
+        app_id = spark.sparkContext.applicationId
 
         def assassin() -> None:
             time.sleep(8)  # well inside the extraction job
             pids = subprocess.run(
                 ["pgrep", "-f",
-                 "executor.CoarseGrainedExecutorBackend"],
+                 f"executor.CoarseGrainedExecutorBackend.*{app_id}"],
                 capture_output=True, text=True).stdout.split()
             if pids:
-                subprocess.run(["kill", "-9", pids[0]])
+                rc = subprocess.run(["kill", "-9", pids[0]]).returncode
+                if rc != 0:  # target exited between pgrep and kill
+                    print(f"# kill of pid {pids[0]} failed (rc={rc}) — "
+                          "no fault injected", file=sys.stderr, flush=True)
+                    return
                 killed["pid"] = pids[0]
                 killed["t"] = time.time()
                 print(f"# KILLED executor pid {pids[0]} mid-job",
@@ -69,7 +77,18 @@ def main() -> int:
         t = threading.Thread(target=assassin)
         t.start()
         start = time.time()
-        result = SparkOcrEngine(spark).extract(corpus).count()
+        from pyspark.sql import functions as F
+
+        out = SparkOcrEngine(spark).extract(corpus)
+        # one action computes both counts: a row-count alone would PASS
+        # even if recomputed partitions came back as per-turn ERROR rows
+        # (extract emits one row per turn regardless) — "full, correct
+        # result" means every row extracted error-free
+        [agg] = out.agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("error_code").isNull(), 1)).alias("n_ok"),
+        ).collect()
+        result, n_ok = agg["n"], agg["n_ok"]
         end = time.time()
         wall = end - start
         t.join()
@@ -79,15 +98,14 @@ def main() -> int:
         # report a vacuous PASS (e.g. tiny corpus finishing under the
         # assassin's delay)
         mid_job = bool(killed.get("t")) and killed["t"] < end
-        ok = mid_job and result == n_expected
-        print(f"rows {result}/{n_expected} in {wall:.1f}s after "
-              f"killing executor {killed.get('pid')}"
+        ok = mid_job and result == n_expected and n_ok == n_expected
+        print(f"rows {result}/{n_expected} ({n_ok} error-free) in "
+              f"{wall:.1f}s after killing executor {killed.get('pid')}"
               f"{' (mid-job)' if mid_job else ' (TOO LATE — invalid)'}: "
               f"{'PASSED' if ok else 'FAILED'}")
         return 0 if ok else 1
     finally:
-        for p in reversed(procs):
-            p.terminate()
+        teardown(procs)
 
 
 if __name__ == "__main__":

@@ -21,7 +21,6 @@ import json
 import sys
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 
 def build_session(app: str) -> SparkSession:
@@ -70,12 +69,9 @@ def main() -> int:
     spark = build_session("sparkocr-extract")
     df = spark.read.parquet(args.input)
     if args.as_transcripts:
-        df = df.select(
-            F.col("source").alias("conv_id"),
-            F.col("doc_id").cast("int").alias("turn_idx"),
-            F.lit("user").alias("role"),
-            "text",
-        )
+        from sparkocr.sources import docs_as_transcripts
+
+        df = docs_as_transcripts(df)
     summary = run_checkpointed(
         spark, df, args.output, input_path=args.input, config=config,
         n_buckets=args.n_buckets, batch_buckets=args.batch_buckets,
@@ -83,13 +79,17 @@ def main() -> int:
     if args.mode != "parquet":
         import os
 
+        from sparkocr.checkpoint import read_checkpointed
         from sparkocr.sources import (
             write_debug_html,
             write_json_blocks,
             write_text,
         )
 
-        result = spark.read.parquet(os.path.join(args.output, "data"))
+        # read_checkpointed, not a raw read of {output}/data: it applies
+        # the ledger's committed-bucket filter and survives a completed
+        # zero-row run (which writes no parquet files at all)
+        result = read_checkpointed(spark, args.output)
         render = os.path.join(args.output, "render")
         if args.mode == "text":
             write_text(result, render)

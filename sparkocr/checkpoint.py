@@ -178,6 +178,10 @@ def run_checkpointed(
                 "n_errors": int(r["n_errors"]) if r else 0,
                 "batch_wall_s": round(wall, 3),
                 "lineage": asdict(manifest),
+                # lets read_checkpointed reconstruct an EMPTY result when
+                # a completed run committed only zero-row buckets (an
+                # empty write emits no parquet files to infer from)
+                "output_schema": out.schema.json(),
             }
             # atomic commit marker: write-to-tmp + rename, so a kill
             # mid-write can never leave a truncated file that
@@ -209,5 +213,23 @@ def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
             f"no committed buckets in {out_dir} yet — the run has not "
             "completed any batch (ledger is empty)"
         )
-    df = spark.read.parquet(os.path.join(out_dir, "data"))
+    try:
+        df = spark.read.parquet(os.path.join(out_dir, "data"))
+    except AnalysisException:
+        # every committed bucket was empty: the write emitted no parquet
+        # files, so there is nothing to infer a schema from — a
+        # legitimately completed run over empty input must still read
+        # back (as empty), not crash. The ledger entries carry the
+        # output schema for exactly this case.
+        from pyspark.sql.types import StructType
+
+        for b in done:
+            path = os.path.join(_ledger_dir(out_dir), f"bucket={b}.json")
+            with open(path) as f:
+                entry = json.load(f)
+            if "output_schema" in entry:
+                schema = StructType.fromJson(
+                    json.loads(entry["output_schema"]))
+                return spark.createDataFrame([], schema)
+        raise  # pre-output_schema ledger: surface the original error
     return df.where(F.col("bucket").isin([int(b) for b in done]))

@@ -129,6 +129,10 @@ def _payload(seed: int, conv: int, turn: int) -> tuple[str, int]:
 def conv_sizes(seed: int, n_convs: int, mean_turns: int = 8) -> list[int]:
     """Zipf-skewed conversation sizes: most convs near the mean, a heavy
     head (conv 0 gets ~100× the median) to exercise skew handling."""
+    if mean_turns < 2:
+        raise ValueError(
+            f"mean_turns must be ≥ 2 (conversations are multi-turn by "
+            f"definition), got {mean_turns}")
     sizes = []
     for c in range(n_convs):
         base = 2 + _h(seed, "sz", c) % (2 * mean_turns - 2)

@@ -198,7 +198,11 @@ def sample_frames(
                 if payload is None:
                     continue
                 payload = bytes(payload)
-                if payload[:8] != VID_MAGIC:
+                # a blob truncated inside the 12-byte header would crash
+                # struct.unpack and fail the task — skip it like any
+                # other non-video payload (poison blobs must not fail a
+                # 100 TB job)
+                if len(payload) < 12 or payload[:8] != VID_MAGIC:
                     continue
                 n_frames, frame_len = struct.unpack("<HH", payload[8:12])
                 base = 12

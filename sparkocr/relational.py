@@ -43,14 +43,22 @@ def asof_join(
     # wins even when its payload columns are null (DuckDB/pandas asof
     # semantics)
     rv = F.struct(*[F.col(c).alias(c) for c in right_cols])
-    r = right.select(
+    # a right row with a NULL `on` key can never be "at or before" any
+    # left instant (DuckDB/pandas asof never match a null key) — and
+    # unfiltered it would sort nulls-FIRST and pollute every left row
+    # before the first real right row
+    r = right.where(F.col(on).isNotNull()).select(
         F.col(by), F.col(on), F.lit(0).alias("__side"), rv.alias("__rv"),
         *( [F.col(tiebreak).alias("__tb")] if tiebreak else [F.lit(0).alias("__tb")] ),
     )
+    # left __tb never influences the result (right rows precede left at
+    # equal instants via __side) — but it must TYPE-match right's __tb
+    # for the union, so the placeholder is a typed null, not lit(0)
     l = left.select(
         "*", F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
-        (F.col(tiebreak) if tiebreak and tiebreak in left.columns else F.lit(0)).alias("__tb"),
+        (F.col(tiebreak) if tiebreak and tiebreak in left.columns
+         else F.lit(None).cast(r.schema["__tb"].dataType)).alias("__tb"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
     # right rows (__side 0) sort before left rows at the same instant →
@@ -118,15 +126,28 @@ def interval_overlap_join(
     per interval = O(length/band) — pick ``band`` ≈ typical interval
     length."""
     slack = threshold
+
+    def _bucket(c):
+        # bucket id = floor(x/band)·band in pure LONG arithmetic (pmod
+        # is non-negative, so this floors toward -inf). The obvious
+        # floor(x/band) runs through double division, which rounds
+        # 64-bit endpoints above 2^53 (e.g. nanosecond timestamps) into
+        # wrong buckets and silently drops overlapping pairs; the
+        # scaled multiple preserves bucket equality and ordering with
+        # no division at all.
+        c = c.cast("long")
+        return c - F.pmod(c, F.lit(band))
+
     banded = df.select(
         F.col(key_col).alias("k"),
         F.col(start_col).alias("s"),
         F.col(end_col).alias("e"),
-        F.floor((F.col(start_col) - slack) / band).alias("b0"),
+        _bucket(F.col(start_col) - slack).alias("b0"),
         F.explode(
             F.sequence(
-                F.floor((F.col(start_col) - slack) / band),
-                F.floor((F.col(end_col) + slack) / band),
+                _bucket(F.col(start_col) - slack),
+                _bucket(F.col(end_col) + slack),
+                F.lit(band).cast("long"),
             )
         ).alias("band"),
     )

@@ -37,19 +37,44 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _negotiate_fmt(spark: SparkSession, location: str, fmt: str) -> str:
+    """THE single home of the iceberg-vs-parquet ``auto`` rule: a
+    slash-free location is an Iceberg table identifier
+    (``catalog.db.table``) when the runtime is on the classpath,
+    anything else is a parquet path. Shared by the read and write entry
+    points so the two can never drift."""
+    if fmt == "auto":
+        return "iceberg" if (
+            "/" not in location and iceberg_available(spark)
+        ) else "parquet"
+    return fmt
+
+
 def read_transcripts(spark: SparkSession, location: str,
                      fmt: str = "auto") -> DataFrame:
     """Read a transcript table. ``location`` is an Iceberg table
     identifier (``catalog.db.table``) when the Iceberg runtime is on the
     classpath, else a parquet path. ``fmt`` forces one of
     iceberg|parquet."""
-    if fmt == "auto":
-        fmt = "iceberg" if (
-            "/" not in location and iceberg_available(spark)
-        ) else "parquet"
+    fmt = _negotiate_fmt(spark, location, fmt)
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(location)
     return spark.read.parquet(location)
+
+
+def docs_as_transcripts(docs: DataFrame) -> DataFrame:
+    """THE single home of the documents→transcript-shape mapping used
+    when a ``documents``-shaped table (source, doc_id, text) stands in
+    for a transcript corpus: source → conv_id, doc_id → turn_idx,
+    fixed 'user' role. Shared by the spark-submit entry point
+    (``scripts/run_extract.py --as-transcripts``) and the cluster bench
+    corpus so the two shapes can never drift."""
+    return docs.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+    )
 
 
 def write_ordered(df: DataFrame, location: str, fmt: str = "auto",
@@ -59,9 +84,7 @@ def write_ordered(df: DataFrame, location: str, fmt: str = "auto",
     a sorted append into the table's partition spec; on parquet the
     range partitioning itself provides the clustered file layout."""
     out = ordered(df, partitions=partitions)
-    if fmt == "auto":
-        fmt = "iceberg" if ("/" not in location
-                            and iceberg_available(df.sparkSession)) else "parquet"
+    fmt = _negotiate_fmt(df.sparkSession, location, fmt)
     if fmt == "iceberg":
         # createOrReplace mirrors the parquet path's overwrite semantics
         # (and works when the table does not exist yet); use
@@ -95,7 +118,11 @@ def debug_html(text: str, blocks) -> str:
     )
     out, pos = ["<pre>"], 0
     for s, e, t in spans:
-        s, e = max(s, pos), max(e, pos)
+        # clamp e to s (not pos): an inverted span (end < start) from a
+        # corrupt row would otherwise move pos backwards and re-emit the
+        # [e:s] range twice
+        s = max(s, pos)
+        e = max(e, s)
         out.append(_html.escape(text[pos:s]))
         color = palette.get(t, "#eeeeee")
         out.append(

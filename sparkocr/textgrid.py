@@ -67,9 +67,17 @@ def opaque_mask(text: str) -> np.ndarray:
     # engines entirely on clean text (the common case for recognition
     # crops, whose markup was already blanked by crop_box)
     if "<" in text:
-        for rx in (_COMMENT_RE, _SCRIPT_RE):
-            for m in rx.finditer(text):
-                mask[m.start() : m.end()] = True
+        for m in _COMMENT_RE.finditer(text):
+            mask[m.start() : m.end()] = True
+        for m in _SCRIPT_RE.finditer(text):
+            # comments really do match BEFORE script (the ordering the
+            # header comment promises): a <script> opener inside a
+            # comment is inert text, and honoring it would extend the
+            # unclosed-script fallback mask over the rest of the turn —
+            # '<!-- <script src=x> --> Visible.' must keep 'Visible.'
+            if mask[m.start()]:
+                continue
+            mask[m.start() : m.end()] = True
     if "\x1b" in text:
         for m in _ANSI_RE.finditer(text):
             mask[m.start() : m.end()] = True

@@ -98,3 +98,19 @@ def test_retried_batch_overwrites_not_appends(spark, transcripts, tmp_path):
     full = read_checkpointed(spark, out)
     assert full.count() == 400
     assert full.groupBy("conv_id", "turn_idx").count().where(F.col("count") > 1).count() == 0
+
+
+def test_empty_input_run_reads_back_empty(spark, transcripts, tmp_path):
+    """A completed run whose buckets all held zero rows writes NO
+    parquet files; read_checkpointed must return an empty DataFrame
+    with the extraction schema (from the ledger), not crash on schema
+    inference (review finding)."""
+    out_dir = str(tmp_path / "empty_run")
+    empty = transcripts.where(F.lit(False))
+    summary = run_checkpointed(spark, empty, out_dir, n_buckets=4,
+                               batch_buckets=4)
+    assert summary["processed"] == [0, 1, 2, 3]
+    assert done_buckets(out_dir) == {0, 1, 2, 3}
+    back = read_checkpointed(spark, out_dir)
+    assert back.count() == 0
+    assert "full_text" in back.columns and "bucket" in back.columns

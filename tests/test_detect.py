@@ -252,3 +252,28 @@ def test_box_span_matches_crop_box_on_ragged_inputs():
             for b in find_text_boxes(grid, cfg):
                 _, start, end = crop_box(grid, b)
                 assert box_span(grid, b) == (start, end), (text, b)
+
+
+def test_commented_out_script_opener_does_not_mask_to_eof():
+    """A <script> opener inside an HTML comment is inert text: honoring
+    it would extend the unclosed-script fallback mask over the rest of
+    the turn and drop all real content after the comment (review
+    finding). Comments mask BEFORE script, as the textgrid header
+    promises."""
+    from sparkocr.textgrid import opaque_mask
+
+    text = ("<!-- <script src=x> --> Visible paragraph of real content "
+            "that is long enough to outweigh the markup on this line.")
+    mask = opaque_mask(text)
+    vis = text.index(" Visible")
+    assert mask[: text.index("-->") + 3].all()      # the comment itself
+    assert not mask[vis:].any()                     # content survives
+
+    # a REAL unclosed script still masks to end-of-text
+    m2 = opaque_mask("<script>var x=1; no closer. tail text")
+    assert m2.all()
+
+    from sparkocr import extract_turn, FLAGSHIP_CONFIG
+
+    r = extract_turn(text, FLAGSHIP_CONFIG)
+    assert "Visible paragraph of real content" in r.full_text

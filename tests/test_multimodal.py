@@ -70,6 +70,24 @@ def test_sample_frames(spark, media):
     assert bytes(one[1]["frame"]) == payload[12 + 2 * w * h: 12 + 3 * w * h]
 
 
+def test_sample_frames_truncated_header_is_skipped(spark, media):
+    """A blob cut off inside the 12-byte header must be skipped like any
+    other non-video payload, not crash the task with struct.error
+    (review finding)."""
+    from sparkocr.multimodal import VID_MAGIC
+
+    good = fake_video(7, n_frames=3, frame_len=16)
+    bad = spark.createDataFrame(
+        [(1, "video", VID_MAGIC + b"\x02", 4, 4, 3),   # 9-byte header
+         (2, "video", VID_MAGIC, 4, 4, 3),             # magic only
+         (3, "video", good, 4, 4, 3)],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_frames(bad, every_n=1).collect()
+    assert {r["media_id"] for r in rows} == {3}
+    assert len(rows) == 3
+
+
 def test_rebalance_by_size(spark, media):
     out = rebalance_by_size(media, target_bytes=16 << 10)
     assert out.count() == media.count()

@@ -77,6 +77,50 @@ def test_asof_join_latest_right_row_with_null_value(spark):
     assert row["value_asof"] is None
 
 
+def test_asof_join_null_right_ts_never_matches(spark):
+    """A right row with a NULL timestamp is not 'at or before' anything
+    (DuckDB/pandas asof never match a null key) — unfiltered it sorts
+    nulls-first and pollutes every left row before the first real right
+    row (review finding)."""
+    ldf = spark.createDataFrame([(1, 0, _ts(1)), (2, 0, _ts(20))],
+                                "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(8, 0, None, 99.0), (9, 0, _ts(10), 5.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    got = {r["event_id"]: r["value_asof"]
+           for r in asof_join(ldf, rdf, right_cols=("value",)).collect()}
+    assert got[1] is None   # before the first real right row: no match
+    assert got[2] == 5.0
+
+
+def test_asof_join_string_tiebreak_absent_from_left(spark):
+    """A non-integer right tiebreak column absent from the left must not
+    break the internal union (the left placeholder is a typed null, not
+    lit(0)) — review finding."""
+    ldf = spark.createDataFrame([(1, 0, _ts(10))],
+                                "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(
+        [("a", 0, _ts(5), 1.0), ("b", 0, _ts(5), 2.0)],
+        "rid string, user_id long, ts timestamp, value double")
+    [row] = asof_join(ldf, rdf, right_cols=("value",), tiebreak="rid").collect()
+    assert row["value_asof"] == 2.0  # greatest tiebreak at the instant
+
+
+def test_interval_overlap_join_beyond_double_precision(spark):
+    """Endpoints above 2^53 (nanosecond epochs): double-division banding
+    rounds bucket ids and silently drops overlapping pairs; the pure
+    long-arithmetic banding must find them (review finding)."""
+    base = 1_700_000_000_000_000_000  # ~2^60.6 ns epoch
+    ivs = [(1, base + 1, base + 900),        # overlaps 2
+           (2, base + 800, base + 1_700),    # overlaps 1 and 3
+           (3, base + 1_650, base + 2_400),
+           (4, base + 9_000_000, base + 9_000_500)]  # far away, alone
+    df = spark.createDataFrame(ivs, "k long, start long, end long")
+    got = {(r["k_a"], r["k_b"])
+           for r in interval_overlap_join(df, "k", band=1000).collect()}
+    assert got == {(1, 2), (2, 3)}
+
+
 def test_sessionize_gap_semantics(spark):
     from sparkocr.relational import sessionize
 

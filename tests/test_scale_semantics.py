@@ -133,6 +133,11 @@ def test_debug_html_sink(spark, skewed, tmp_path):
     h = debug_html("a<b> C D </b>e", [
         {"start": 4, "end": 8, "block_type": "prose"}])
     assert "&lt;b&gt;" in h and "<mark" in h and " C D" in h
+    # an inverted span (end < start) from a corrupt row must not re-emit
+    # any text range twice (review finding)
+    import re
+    h2 = debug_html("abcdefgh", [{"start": 5, "end": 2, "block_type": "prose"}])
+    assert re.sub("<[^>]*>", "", h2) == "abcdefgh"
 
 
 def test_to_arrow_handoff(spark):
