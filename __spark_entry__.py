@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 
 _SHIPPED: set = set()
+_ZIP_PATH: str | None = None
 
 
 def _ensure_pkg(spark: SparkSession) -> None:
@@ -45,25 +46,30 @@ def _ensure_pkg(spark: SparkSession) -> None:
     driver may have started its JVM from any cwd before importing this
     module, in which case workers cannot resolve `import sparkocr` for
     the pandas-UDF closures (pickled by reference). Safe to call per
-    query; ships once per SparkContext."""
+    query; ships once per application (keyed by applicationId — id(sc)
+    could be reused at the same address after a stop/recreate), and the
+    zip is built fresh once per process (reusing a pid-named file left
+    by a RECYCLED pid would ship stale executor code)."""
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    if sc.applicationId in _SHIPPED:
         return
     import os
     import tempfile
     import zipfile
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(),
-                         f"sparkocr_pyfiles_{os.getpid()}.zip")
-    if not os.path.exists(zpath):
+    global _ZIP_PATH
+    if _ZIP_PATH is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(tempfile.gettempdir(),
+                             f"sparkocr_pyfiles_{os.getpid()}.zip")
         with zipfile.ZipFile(zpath, "w") as z:
             pkg = os.path.join(here, "sparkocr")
             for fn in sorted(os.listdir(pkg)):
                 if fn.endswith(".py"):
                     z.write(os.path.join(pkg, fn), f"sparkocr/{fn}")
-    sc.addPyFile(zpath)
-    _SHIPPED.add(id(sc))
+        _ZIP_PATH = zpath
+    sc.addPyFile(_ZIP_PATH)
+    _SHIPPED.add(sc.applicationId)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -805,11 +811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pairs (both pins, same scan family) as one tagged union —
         # each operator's rows stay individually hash-verified
         emb = _t(spark, sf, "embeddings")
-        first = emb.select("embedding").head()
-        if first is None:
-            raise ValueError("embeddings table is empty — cannot infer dim")
-        dim = len(first[0])
-        qv = _query_vec(emb, 0)
+        qv = _query_vec(emb, 0)  # raises on empty/missing id
+        dim = len(qv)
         topk = lsh_topk(emb, qv, dim=dim, k=10).select(
             F.lit("topk").alias("kind"),
             F.lit(0).cast("long").alias("id_a"),
@@ -1477,10 +1480,11 @@ def oracle_sql() -> dict[str, str]:
                        '[Hh][Tt][Tt][Pp][Ss]?://[A-Za-z0-9.-]+(/[^ \t\n]*)?', 0)) AS url
               FROM corpus
             )
-            SELECT 'contains_probe' AS kind, probe AS key, count(*) AS n
+            SELECT 'contains_probe' AS kind, probe AS key,
+                   count(d.text) AS n  -- clean probe => 0, not absent
             FROM (VALUES ('spark'), ('customer line'), ('vector'),
                          ('zzz-not-present')) p(probe)
-            JOIN documents d ON position(probe IN d.text) > 0
+            LEFT JOIN documents d ON position(probe IN d.text) > 0
             GROUP BY probe
             UNION ALL
             SELECT 'url_domain' AS kind,

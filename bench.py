@@ -6,7 +6,7 @@ line to stdout:
 
     {"metric": "...", "value": <total headline sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": ...,
-     "turns_per_sec_1exec": ..., "turns_per_sec_4exec": ...,
+     "turns_per_sec_2exec": ..., "turns_per_sec_8exec": ...,
      "scaling_efficiency": ...}
 
 The scaling block evidences the north-rule "N → 4N executors at ≥0.8
@@ -142,7 +142,9 @@ for p, label in enumerate(plan):
     t_wait = time.time()
     while not os.path.exists(f"{go_path}.{p}"):
         time.sleep(0.05)
-        if time.time() - t_wait > 600:
+        # must exceed the parent's 900s barrier: an idle worker giving
+        # up first would kill a cohort the parent was still tolerating
+        if time.time() - t_wait > 960:
             sys.exit(3)
     if label not in mine:
         continue
@@ -230,7 +232,10 @@ def run_headline() -> tuple[dict[str, float], float]:
     for name, best in timings.items():
         _log(f"bench {name}: {counts[name]} rows in {best}s")
     spark.stop()
-    return timings, round(sum(timings.values()), 3)
+    # queries that never succeeded in any pass: surfaced in the JSON —
+    # a silently shrunken sum would read as a FASTER bench
+    failed = [n for n in HEADLINE if n in qs and n not in timings]
+    return timings, round(sum(timings.values()), 3), failed
 
 
 def _run_cohort(n_execs: int = 8, n_small: int = 2, cores_per: int = 1,
@@ -259,9 +264,17 @@ def _run_cohort(n_execs: int = 8, n_small: int = 2, cores_per: int = 1,
             # block the JVM mid-pass, hanging the whole cohort barrier
             err_path = os.path.join(td, f"stderr{shard}")
             err_paths.append(err_path)
+            # the worker's `import sparkocr` must resolve regardless of
+            # the parent's cwd (python -c puts '' = cwd on sys.path, not
+            # this file's directory) — ship the repo root via PYTHONPATH
+            repo = os.path.dirname(os.path.abspath(__file__))
+            env = dict(os.environ)
+            env["PYTHONPATH"] = repo + (
+                os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH")
+                else "")
             procs.append(subprocess.Popen(
                 cmd, stdout=subprocess.PIPE,
-                stderr=open(err_path, "w"), text=True))
+                stderr=open(err_path, "w"), text=True, env=env))
         for pno in range(len(plan)):
             t0 = time.time()
             while not all(os.path.exists(f"{r}.{pno}") for r in readies):
@@ -404,7 +417,7 @@ def write_baseline_md(result: dict) -> None:
 
 def main() -> None:
     load_start = _wait_for_quiet()
-    timings, total = run_headline()
+    timings, total, failed = run_headline()
     result = {
         "metric": "headline query wall time (sum) + extraction scaling",
         "value": total,
@@ -418,6 +431,10 @@ def main() -> None:
         # so a loaded run is visibly non-comparable in the artifact
         "load1_at_start": load_start,
     }
+    if failed:
+        # machine-readable failure signal: "value" only sums the queries
+        # that ran, so without this a broken query reads as a speedup
+        result["failed_queries"] = failed
     if RUN_SCALING:
         try:
             result.update(run_scaling())

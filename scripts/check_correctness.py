@@ -48,7 +48,15 @@ def _cell(v) -> str:
         return f"{v:.12g}"
     if isinstance(v, bool):
         return str(int(v))
-    return str(v)
+    s = str(v)
+    if "\n" in s or "\x1f" in s or "\\" in s:
+        # text cells carry real newlines (full_text, clean_text): left
+        # raw, a newline inside a cell is ambiguous with the row
+        # separator, so two DIFFERENT row multisets could canonicalize
+        # to the same byte stream and false-PASS the gate
+        s = (s.replace("\\", "\\\\").replace("\n", "\\n")
+             .replace("\x1f", "\\x1f"))
+    return s
 
 
 def main():

@@ -86,6 +86,9 @@ def main(n_batches=2000, batch_size=64, seed0=1000):
             print(f"batch {bi+1}/{n_batches}: {total} rows, "
                   f"{fast} fast ({fast/total:.1%}), no divergence",
                   flush=True)
+    if total == 0:
+        print("DONE 0 rows (nothing fuzzed)")
+        return
     print(f"DONE {total} rows, {fast} fast ({fast/total:.1%}), 0 divergences")
 
 

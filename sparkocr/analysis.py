@@ -479,15 +479,25 @@ def contamination_counts(df: DataFrame, probes: list[str],
     probe string (substring match — the cheap first-pass filter before
     an expensive n-gram overlap check). The probe list is tiny and rides
     a broadcast nested-loop join; the corpus is scanned ONCE for all
-    probes, never once per probe."""
+    probes, never once per probe.
+
+    Every probe gets a row — a clean probe reports ``n_docs = 0``
+    rather than vanishing (a report that omits clean probes cannot
+    distinguish "0 hits" from "probe not checked"). The zero rows ride
+    a tiny probes←counts left join AFTER the aggregate, so the corpus
+    scan shape is unchanged."""
     spark = df.sparkSession
     probe_df = spark.createDataFrame([(p,) for p in probes], "probe string")
-    return (
+    counts = (
         df.select(F.col(text_col).alias("__t__"))
         .join(F.broadcast(probe_df),
               F.instr(F.col("__t__"), F.col("probe")) > 0)
         .groupBy("probe")
-        .agg(F.count("*").cast("long").alias("n_docs"))
+        .agg(F.count("*").cast("long").alias("__n__"))
+    )
+    return probe_df.join(F.broadcast(counts), "probe", "left").select(
+        "probe",
+        F.coalesce(F.col("__n__"), F.lit(0)).cast("long").alias("n_docs"),
     )
 
 

@@ -332,7 +332,9 @@ def test_contamination_counts_broadcast(spark):
         "doc_id long, text string")
     out = contamination_counts(df, ["quick", "fox", "absent"])
     got = {r["probe"]: r["n_docs"] for r in out.collect()}
-    assert got == {"quick": 2, "fox": 1}
+    # a clean probe reports 0 rather than vanishing — "0 hits" must be
+    # distinguishable from "probe not checked" (review finding)
+    assert got == {"quick": 2, "fox": 1, "absent": 0}
     # the probe side must ride a broadcast, not a shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
