@@ -81,7 +81,15 @@ def with_cosine(df: DataFrame, query_vec: list[float],
     # zero/degenerate vectors would yield 0/0 = NaN, and Spark orders NaN
     # ABOVE every real double — a padding row would win every top-k.
     # Null instead: nulls sort last under desc and fail >= thresholds.
-    cos = F.when(denom > 0, _dot(F.col(vec_col), q) / denom)
+    # A width mismatch raises: zip_with would null-pad and every cosine
+    # would come back NULL — cosine_topk silently empty (review finding).
+    cos = F.when(
+        F.size(F.col(vec_col)) != F.lit(len(query_vec)),
+        F.raise_error(F.concat(
+            F.lit("with_cosine: vector width "),
+            F.size(F.col(vec_col)).cast("string"),
+            F.lit(f" != query width {len(query_vec)}"))),
+    ).when(denom > 0, _dot(F.col(vec_col), q) / denom)
     return df.withColumn("cosine", F.round(cos, 4))
 
 
@@ -192,7 +200,17 @@ def with_lsh_bucket(df: DataFrame, dim: int, n_planes: int = 12,
             " (x, y) -> cast(x as double) * y), 0.0D, (acc, v) -> acc + v)"
         )
         terms.append(f"shiftleft(cast(({dot}) > 0.0D as bigint), {j})")
-    return df.withColumn("bucket", F.expr(" + ".join(terms)))
+    # width guard: zip_with pads a mismatched vector with nulls, which
+    # would propagate to a NULL bucket and silently EMPTY every
+    # bucket-join downstream (a dedup operator reporting false-clean) —
+    # fail loudly instead
+    bucket = F.when(
+        F.size(F.col(vec_col)) == dim, F.expr(" + ".join(terms))
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("with_lsh_bucket: vector width "),
+        F.size(F.col(vec_col)).cast("string"),
+        F.lit(f" != dim={dim}"))))
+    return df.withColumn("bucket", bucket)
 
 
 def _seed_centroids(df: DataFrame, nlist: int, id_col: str,
@@ -244,8 +262,14 @@ def ivf_index(
     mean via posexplode + partial-agg groupBy (only (int, int, double)
     rows shuffle, never the vectors) → the nlist×dim centroid table
     (tiny by construction) comes back to the driver. Centroid means are
-    rounded to 6 dp so double summation order cannot make assignment —
-    and therefore the committed oracle pin — nondeterministic. At
+    rounded to 6 dp so SPARK's double summation order cannot make
+    assignment — and therefore the committed oracle pin —
+    nondeterministic. Honesty note: the assignment matmul itself runs
+    on each executor's BLAS kernel, so on an ISA-heterogeneous cluster
+    (AVX-512 + AVX2 nodes) a vector within a few ulps of equidistant
+    between two centroids could still flip lists; the 6 dp rounding
+    makes this vanishingly rare, and single-ISA clusters (and this
+    sandbox) are exactly reproducible. At
     100 TB, write the assigned table bucketed by ``list_id``: a query
     then reads ``nprobe`` buckets, not the corpus.
 
@@ -302,7 +326,9 @@ def ivf_topk(
     qn = q / max(np.linalg.norm(q), 1e-12)
     Cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     sims = Cn @ qn
-    probes = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    # stable sort: exactly-tied centroid sims (duplicate seed vectors)
+    # must not reorder the nprobe boundary across numpy versions
+    probes = [int(i) for i in np.argsort(-sims, kind="stable")[:nprobe]]
     pruned = assigned.where(F.col("list_id").isin(probes))
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
@@ -332,7 +358,13 @@ def cluster_neardup_pairs(
 
     Columns: (id_a, id_b, list_id, cosine)."""
     _, assigned = ivf_index(df, dim, nlist, iters, id_col, vec_col)
-    normed = assigned.withColumn("__nrm__", _norm(F.col(vec_col)))
+    # pin before the self-join: both sides derive from this plan, and
+    # left lazy the list_id pandas-UDF matmul + norm fold would run
+    # twice per action (the round-2 'two extra corpus scans' class). At
+    # 100 TB this materialization IS the bucketed-by-list_id write the
+    # docstring prescribes.
+    normed = assigned.withColumn("__nrm__", _norm(F.col(vec_col))) \
+        .transform(pin)
     a = normed.select(F.col(id_col).alias("id_a"),
                       F.col(vec_col).alias("va"),
                       F.col("__nrm__").alias("norm_a"), "list_id")
@@ -362,11 +394,18 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose LSH bucket is within
     ``probe_hamming`` bits of the query's bucket (multi-probe)."""
+    if len(query_vec) != dim:
+        raise ValueError(
+            f"query vector has {len(query_vec)} elements, dim={dim}")
     planes = _hyperplanes(dim, n_planes)
-    qv = np.asarray(query_vec, dtype=np.float64)
     qbucket = 0
     for j in range(n_planes):
-        if float(qv @ planes[j]) > 0:
+        # _py_dot, NOT numpy: the query's bucket must come from the
+        # exact left-fold order the SQL aggregate uses for the stored
+        # vectors — a BLAS-ordered sum can flip a sign bit within an
+        # ulp of 0 and silently exclude the exact-match neighbor from
+        # the probe set
+        if _py_dot(query_vec, planes[j]) > 0:
             qbucket |= 1 << j
     candidates = {qbucket}
     if probe_hamming >= 1:

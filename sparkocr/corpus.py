@@ -34,8 +34,9 @@ from sparkocr.analysis import (
     strip_boilerplate_lines,
     with_quality,
 )
-from sparkocr.lm import (QualityClassifier, UnigramLM, perplexity_scores,
-                         quality_scores, train_unigram_lm)
+from sparkocr.lm import (_WS_RE, QualityClassifier, UnigramLM,
+                         perplexity_scores, quality_scores,
+                         train_unigram_lm)
 
 
 def build_training_corpus(
@@ -73,8 +74,9 @@ def build_training_corpus(
       (group, shard, bin, pos, id, n_tokens, oversize)
     - ``stats``: per-source (n_docs, n_tokens) of ``documents``
     - ``funnel`` (only with ``with_funnel=True``): per-stage retention
-      counts (stage_idx, stage, n_docs) in pipeline order — opt-in
-      because it runs one count action per stage boundary
+      counts (stage_idx int, stage string, n long, unit string) in
+      pipeline order — opt-in because it runs one count action per
+      stage boundary
 
     Materialization policy: text-rewriting stages that consume their
     input more than once internally (substring dedup reads the corpus
@@ -102,6 +104,12 @@ def build_training_corpus(
         raise ValueError(
             "quality_model and min_quality_score go together — the "
             "classifier gate needs both the model and its threshold")
+    lo_band, hi_band = stop_ratio_band
+    if not (0.0 <= lo_band <= hi_band <= 1.0):
+        raise ValueError(
+            f"stop_ratio_band must be (lo, hi) with 0 <= lo <= hi <= 1, "
+            f"got {stop_ratio_band} — a reversed band is unsatisfiable "
+            "and would silently empty the corpus at the quality gate")
     missing = {"doc_id", "source", "text"} - set(docs.columns)
     if missing:
         raise ValueError(f"docs is missing columns: {sorted(missing)}")
@@ -328,7 +336,6 @@ def build_sft_corpus(
     computed in codegen; swap in a real tokenizer count column
     upstream if the training stack needs exact budget parity."""
     from sparkocr.analysis import (assemble_sft_pairs, dedup_conversations,
-                                   ngram_contamination,
                                    sft_context_windows,
                                    validate_transcripts)
 
@@ -342,7 +349,7 @@ def build_sft_corpus(
     # greatest(, 0) also covers legacy sizeOfNull=-1 configurations
     toks = F.greatest(
         F.coalesce(
-            F.size(F.filter(F.split(F.col("text"), "[ \t\n\r\f\x0b]+"),
+            F.size(F.filter(F.split(F.col("text"), _WS_RE),
                             lambda x: x != F.lit(""))),
             F.lit(0)),
         F.lit(0))

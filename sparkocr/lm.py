@@ -113,6 +113,13 @@ def train_unigram_lm(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # pin the vocabulary-sized aggregate BEFORE the scalar action: the
+    # returned table would otherwise re-run the corpus explode+groupBy
+    # on every downstream action (an unconditional second 100 TB pass)
+    # — and for a nondeterministic input plan the scalars and the table
+    # could come from two DIFFERENT evaluations (a silently
+    # inconsistent LM)
+    counts = pin(counts)
     # Two scalars to the driver; the full counts never leave executors.
     tot = counts.agg(
         F.coalesce(F.sum("c"), F.lit(0)).alias("n"),
@@ -292,6 +299,10 @@ def _bucket_logprobs(df: DataFrame, text_col: str, n_buckets: int,
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # pin the ≤n_buckets-row aggregate before the scalar action: one
+    # corpus pass total, and the total + table come from the SAME
+    # evaluation (see train_unigram_lm)
+    counts = pin(counts)
     n = float(counts.agg(F.coalesce(F.sum("c"), F.lit(0))).head()[0])
     denom = n + alpha * n_buckets
     table = counts.select(
@@ -319,6 +330,14 @@ def dsir_weights(
     ``raw`` defaults to ``df`` itself (the usual case: weight the raw
     pool against a clean target). Returns (key_col, log_w double —
     rounded to 6 decimals, n_feats long).
+
+    Evaluation contract: the LM count tables are pinned (one corpus
+    pass each, see ``_bucket_logprobs``), but ``df`` itself is read by
+    BOTH the raw-LM aggregation and the scoring pass — a
+    nondeterministic ``df`` plan (a sample, a tie-broken limit) should
+    be pinned by the CALLER first; this function does not force a
+    corpus-sized materialization on the deterministic common case
+    (a parquet-backed table).
 
     Scale shape: the two LM tables are exactly ``≤ n_buckets`` rows each
     — their difference is merged into ONE broadcast (bucket, log_ratio)
@@ -742,6 +761,11 @@ def bpe_vocab(df: DataFrame, merges: DataFrame,
     )
     base = chars.unionByName(
         spark.createDataFrame([(_END,)], "token string")).distinct()
+    # pin the tiny symbol table before the scalar count: base_ids below
+    # re-reads it, and left lazy that means re-running the
+    # word_frequencies corpus pass (and n_base could disagree with the
+    # ids if the input plan were nondeterministic)
+    base = pin(base)
     n_base = base.count()  # scalar: offsets the merge-product ids
     w = Window.orderBy("token")
     base_ids = base.select(

@@ -70,3 +70,36 @@ def test_with_cosine_equals_lit_form(spark):
     want = {r["vec_id"]: r["cosine"]
             for r in df.withColumn("cosine", F.round(cos, 4)).collect()}
     assert got == want
+
+
+def test_width_mismatch_raises_not_silent_empty(spark):
+    """zip_with null-pads a mismatched vector, which used to surface as
+    NULL cosines/buckets — an EMPTY result from a dedup operator is a
+    silent false-clean (review finding). All three entry points must
+    fail loudly instead."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from sparkocr.ann import cosine_topk, lsh_topk
+
+    df = _vecs(spark, n=10, dim=16)
+    short_q = [0.5] * 8
+    with pytest.raises(PySparkException):
+        cosine_topk(df, short_q, k=3).collect()
+    with pytest.raises(PySparkException):
+        with_lsh_bucket(df, dim=8, n_planes=4).collect()
+    with pytest.raises(ValueError, match="query vector has 8"):
+        lsh_topk(df, short_q, dim=16, k=3)
+
+
+def test_lsh_topk_query_bucket_matches_sql_fold(spark):
+    """The query's own bucket must equal the bucket the SQL fold gives
+    the identical stored vector — otherwise the exact-match neighbor
+    can fall outside the probe set (review finding)."""
+    from sparkocr.ann import lsh_topk
+
+    df = _vecs(spark, n=30, dim=16)
+    qv = [float(x) for x in df.where(F.col("vec_id") == 7)
+          .head()["embedding"]]
+    top = lsh_topk(df, qv, dim=16, k=3, probe_hamming=0).collect()
+    assert top and top[0]["vec_id"] == 7 and top[0]["cosine"] == 1.0

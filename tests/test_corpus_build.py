@@ -108,6 +108,10 @@ def test_arg_validation(spark):
         build_training_corpus(docs, mixture_weights={"web": 1.0})
     with pytest.raises(ValueError, match="missing columns"):
         build_training_corpus(docs.drop("source"))
+    # a reversed quality band is unsatisfiable and would silently empty
+    # the corpus at the gate (review finding)
+    with pytest.raises(ValueError, match="stop_ratio_band"):
+        build_training_corpus(docs, stop_ratio_band=(0.6, 0.05))
 
 
 def test_empty_corpus_flows_through(spark):
