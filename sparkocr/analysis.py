@@ -487,13 +487,16 @@ def contamination_counts(df: DataFrame, probes: list[str],
     a tiny probes←counts left join AFTER the aggregate, so the corpus
     scan shape is unchanged."""
     spark = df.sparkSession
-    probe_df = spark.createDataFrame([(p,) for p in probes], "probe string")
+    # dedupe (order-preserving): a repeated probe would inflate its own
+    # count through the join fan-out AND emit duplicate report rows
+    probe_df = spark.createDataFrame(
+        [(p,) for p in dict.fromkeys(probes)], "probe string")
     counts = (
         df.select(F.col(text_col).alias("__t__"))
         .join(F.broadcast(probe_df),
               F.instr(F.col("__t__"), F.col("probe")) > 0)
         .groupBy("probe")
-        .agg(F.count("*").cast("long").alias("__n__"))
+        .agg(F.count("*").alias("__n__"))
     )
     return probe_df.join(F.broadcast(counts), "probe", "left").select(
         "probe",
