@@ -11,8 +11,9 @@ match-or-fallback per row under seven configs (flagship, default,
 merge off, merge threshold 0, max_rec_lines=None, restricted
 dictionary, min_score=1.0).
 
-Last full run (2026-08-18, 3000 batches x 64 rows, seeds 1000..3999):
-192,000 rows, 88.7% fast-path, 0 divergences.
+Last full run (2026-08-19, 3000 batches x 64 rows, seeds 1000..3999,
+markup grammar included so stage 3 is drilled): 192,000 rows, 91.0%
+fast-path, 0 divergences.
 
 Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size]
 """
@@ -46,12 +47,22 @@ HOSTILE = [
     "&#10;", "&#60;", "&lt;b&gt;", "&#55296;", "\f", "\x1b[31m",
     "<b>", "</b>", "\ud800", "\udfff", "😀",
 ]
+# stage-3 drill: real tags/anchors/comments/script/ANSI/boiler so most
+# rows land in the markup batch machine (not the fallback gates)
+MARKUP = [
+    "<b>", "</b>", "<a href=/x>", "</a>", "<a>link</a>", "<!--", "-->",
+    "<script>", "</script>", "<style>p{}</style>", "<br/>", "<td>c</td>",
+    "\x1b[31m", "\x1b[0m", "\x1b[2J", "\x1b", "<notclosed", "x>",
+    "<1notag>", "[HEADER]", "[PAGE 2]", "=== PAGE 5 ===", "<A HREF=q>",
+    "</A >", "<p>paragraph body text</p>",
+]
 # shape-biased grammars: (pieces, weight)
 GRAMMARS = [
-    (PLAIN, 6),                       # single-line plain
-    (PLAIN + NEWLINES, 5),            # multi-line plain
+    (PLAIN, 5),                       # single-line plain
+    (PLAIN + NEWLINES, 4),            # multi-line plain
     (PLAIN + NEWLINES + HOSTILE, 2),  # mixed / mostly fallback
     (PLAIN + ["&#10;"] * 4, 2),       # entity-minted newlines
+    (PLAIN + NEWLINES + MARKUP, 3),   # markup-bearing (stage 3)
 ]
 GRAMMAR_POOL = [g for g, w in GRAMMARS for _ in range(w)]
 

@@ -38,7 +38,29 @@ Stage-1 eligible = text is a str containing none of ``\\n \\r \\f <
 decode can mint them). Stage-2 eligible = str containing a newline
 (``\\n``/``\\r``) but no ``< \\x1b \\f`` — form-feed turns stay on the
 per-turn path so the document router (pipeline.extract_turn_auto)
-keeps seeing them. Entity-minted newlines (``&#10;``) stay in-domain:
+keeps seeing them.
+
+- **Stage 3 (markup-bearing)**: turns containing ``<`` or ESC (but no
+  form-feed) run the EXACT general detection semantics — ``TurnGrid``
+  and ``line_scores`` are the per-turn functions themselves, and the
+  transitive merge is ``detect.merge_overlapping_boxes`` — but the
+  per-ON-line segment loop of ``find_text_boxes`` (3 ``flatnonzero``
+  calls per line, the measured hot spot on markup rows) is replaced by
+  ONE diff/searchsorted pass over the whole batch's concatenated
+  character grid. Crops assemble through ``detect.crop_box`` (markup
+  blanked — so their canonical form is normally markup-free and in the
+  flat decode's domain) and pool into the same flat decode as stages
+  1/2.
+
+The domain gate is shared by all three stages (``_canon_in_domain``):
+a crop whose canonical form would make ``char_scores`` see a non-empty
+markup mask — entity decode minting real tags, an ANSI run surviving
+into the crop — falls the whole row back to the per-turn path, which
+owns the markup-scoring branch. Text that merely CONTAINS ``<`` but
+forms no tag (``<1notag>``) and lone ESC bytes the ANSI scanner does
+not match stay in-domain: both score identically on either path.
+
+Entity-minted newlines (``&#10;``) stay in-domain:
 detection geometry comes from the pre-canonicalize lines on both
 paths, and ``canonicalize`` caps the crop's line count at
 ``max_rec_lines`` (no overflow is possible), so the flat machine
@@ -52,6 +74,8 @@ across crops.
 
 from __future__ import annotations
 
+from bisect import bisect_right
+
 import numpy as np
 
 from .config import (
@@ -63,12 +87,19 @@ from .config import (
     SCORE_OTHER,
     SCORE_PUNCT,
     SCORE_WORD,
+    THRESHOLD,
     EngineConfig,
 )
-from .detect import Box, merge_overlapping_boxes
+from .detect import Box, TurnGrid, crop_box, line_scores, merge_overlapping_boxes
 from .pipeline import Block, TurnResult
 from .recognize import canonicalize, classify_block, decode
-from .textgrid import _NL, is_boiler_line, punct_mask, word_char_mask
+from .textgrid import (
+    _NL,
+    is_boiler_line,
+    markup_mask,
+    punct_mask,
+    word_char_mask,
+)
 
 def _empty() -> TurnResult:
     """Fresh empty result per row — the per-turn path also returns a
@@ -97,6 +128,19 @@ def _no_surrogates(t: str) -> bool:
         return False
 
 
+def _canon_in_domain(canon: str) -> bool:
+    """True when the flat machine scores this canonical crop exactly as
+    ``char_scores`` would: the machine assumes the markup mask is empty,
+    so a crop is in-domain iff ``markup_mask(canon)`` marks nothing.
+    The substring scan is the exact fast gate (every tag/comment match
+    needs ``<``, every ANSI match needs ESC); when one of those chars IS
+    present the mask itself decides — e.g. ``<1notag>`` is not a tag and
+    stays in-domain, while entity-minted ``<i>`` or an ANSI run leaves."""
+    if "<" not in canon and "\x1b" not in canon:
+        return True
+    return not markup_mask(canon).any()
+
+
 def _eligible(t) -> bool:
     """The det.py fast-path shape: one line (no \\n, and no \\r/\\f that
     TurnGrid would fold into one), no markup, no ANSI."""
@@ -118,6 +162,143 @@ def _eligible_multiline(t) -> bool:
         and "<" not in t and "\x1b" not in t
         and _no_surrogates(t)
     )
+
+
+def _eligible_markup(t) -> bool:
+    """Stage 3: markup/ANSI-bearing turns. Form-feed rows stay on the
+    per-turn path (document router); surrogate rows fall back up front
+    (same reason as stages 1/2)."""
+    return (
+        isinstance(t, str)
+        and ("<" in t or "\x1b" in t) and "\f" not in t
+        and _no_surrogates(t)
+    )
+
+
+def _markup_batch(m_rows, config: EngineConfig, border: int,
+                  out, rows, canons, metas) -> None:
+    """Stage-3 detection + crop assembly for a batch of markup-bearing
+    turns. Semantics are the general path of ``find_text_boxes``
+    verbatim — ``TurnGrid``/``line_scores``/``merge_overlapping_boxes``
+    /``crop_box`` ARE the per-turn functions — except the per-ON-line
+    run extraction, which this function performs with one
+    diff/searchsorted pass over the whole batch's concatenated grid:
+
+    - ok = not markup, not newline, line score > THRESHOLD; a one-slot
+      False gap between turns keeps runs from bridging rows (newlines
+      already break runs within a turn, so runs never cross lines)
+    - per run, the visible-char trim (per-line ``nz``) becomes two
+      searchsorteds into the global visible-position index
+    - width filter, border expansion, and clamps are the exact
+      bounding_rect/find_box arithmetic (det.rs:509-510, 375-376),
+      vectorized over all runs
+
+    Run order (ascending global position) IS discovery order (top line
+    first, left to right), so box order matches the per-turn path by
+    construction. Successful rows append their crops to the shared
+    flat-decode pool; a row whose crop canonicalizes to text carrying
+    ``<``/ESC is left at ``None`` (per-turn fallback)."""
+    prepped = []        # (row index, grid, on) — turns with any ON line
+    ok_parts: list[np.ndarray] = []
+    vis_parts: list[np.ndarray] = []
+    gap_b = np.zeros(1, dtype=bool)
+    for i, t in m_rows:
+        grid = TurnGrid(t)
+        sc = line_scores(grid)
+        on = sc > THRESHOLD
+        if not on.any():
+            out[i] = _empty()
+            continue
+        cp = grid.cp
+        nl = cp == _NL
+        line_id = np.cumsum(nl) - nl
+        ok = ~grid.mk & ~nl & on[line_id]
+        vis = ok & (cp != 0x20) & (cp != 0x09)
+        prepped.append((i, grid))
+        ok_parts.append(ok)
+        ok_parts.append(gap_b)
+        vis_parts.append(vis)
+        vis_parts.append(gap_b)
+    if not prepped:
+        return
+    ok_all = np.concatenate(ok_parts)
+    vis_all = np.concatenate(vis_parts)
+    # base offset of each turn in the concatenated grid (+1 gap each)
+    sizes = np.fromiter((len(p[1].cp) + 1 for p in prepped),
+                        dtype=np.int64, count=len(prepped))
+    bases = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+
+    d = np.diff(ok_all.astype(np.int8), prepend=np.int8(0),
+                append=np.int8(0))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    vis_idx = np.flatnonzero(vis_all)
+    lo = np.searchsorted(vis_idx, starts)
+    hi = np.searchsorted(vis_idx, ends)
+    keep = hi > lo                       # run has a visible char
+    starts, ends, lo, hi = starts[keep], ends[keep], lo[keep], hi[keep]
+    if starts.size:
+        c0 = vis_idx[lo]
+        c1 = vis_idx[hi - 1]
+        keep = (c1 - c0) > MIN_BOX_SIZE  # width w/o +1 (det.rs:509-510)
+        starts, ends, c0, c1 = starts[keep], ends[keep], c0[keep], c1[keep]
+    else:
+        c0 = c1 = starts
+    t_of = np.searchsorted(bases, starts, side="right") - 1
+    # per-run geometry, vectorized; columns become line-local below
+    left_g = np.maximum(c0 - border, starts)
+    right_g = np.minimum(c1 + border, ends - 1)
+
+    r = 0
+    n_runs = len(starts)
+    for k, (i, grid) in enumerate(prepped):
+        boxes: list[Box] = []
+        base = bases[k]
+        offs = grid.line_offsets
+        last = len(grid.lines) - 1
+        while r < n_runs and t_of[r] == k:
+            p0 = int(c0[r] - base)
+            # runs never cross lines: the line of the first visible
+            # char is the run's line
+            y = _line_of(offs, p0, last)
+            ls = offs[y]
+            top = max(y * LINE_HEIGHT + GLYPH_TOP - border, 0)
+            bottom = min(y * LINE_HEIGHT + GLYPH_BOTTOM + border,
+                         grid.grid_h - 1)
+            left = int(left_g[r] - base) - ls
+            right = int(right_g[r] - base) - ls
+            # +1 on width/height, mirroring find_box (det.rs:375-376)
+            boxes.append(Box(left, top, right - left + 1,
+                             bottom - top + 1))
+            r += 1
+        if config.merge_boxes:
+            boxes = merge_overlapping_boxes(boxes, config.merge_threshold)
+        if not boxes:
+            out[i] = _empty()
+            continue
+        r_canons: list[str] = []
+        r_metas: list[tuple] = []
+        in_domain = True
+        for box in boxes:
+            crop, start, end = crop_box(grid, box)
+            canon = canonicalize(crop, config.max_rec_lines)
+            if not _canon_in_domain(canon):
+                in_domain = False   # markup scoring: per-turn path
+                break
+            r_canons.append(canon)
+            r_metas.append((box, start, end))
+        if not in_domain:
+            continue
+        rows.append((i, len(canons), len(canons) + len(r_canons)))
+        canons.extend(r_canons)
+        metas.extend(r_metas)
+
+
+def _line_of(offs: list, pos: int, last: int) -> int:
+    """Line index of char offset ``pos`` given ascending line offsets —
+    runs carry few boxes per turn, so a bisect beats materializing a
+    per-char line-id array for the whole turn a second time."""
+    return min(bisect_right(offs, pos) - 1, last)
 
 
 def _plain_multiline_crops(t: str, config: EngineConfig, border: int):
@@ -182,7 +363,7 @@ def _plain_multiline_crops(t: str, config: EngineConfig, border: int):
             b = min(b_right, len(ln))
             parts.append(ln[a:b] if b > a else "")
         canon = canonicalize("\n".join(parts), config.max_rec_lines)
-        if "<" in canon or "\x1b" in canon:
+        if not _canon_in_domain(canon):
             return None
         start = offs[y0] + min(box.left, len(lines[y0]))
         end = offs[y1] + min(b_right, len(lines[y1]))
@@ -209,6 +390,7 @@ def batch_extract_simple(
     canons: list[str] = []    # canonical crop text, all rows flattened
     metas: list[tuple] = []   # per crop: (box, span_start, span_end)
     rows: list[tuple] = []    # per flat row: (row index, k0, k1) crop slice
+    m_rows: list[tuple] = []  # stage-3 (markup) rows: (row index, text)
     for i in range(n):
         t = texts[i]
         if _eligible(t):
@@ -230,7 +412,7 @@ def batch_extract_simple(
             # canonicalize caps line count, and the flat machine
             # reproduces recognize_crop's newline handling bit-for-bit
             # (see module docstring).
-            if "<" in canon or "\x1b" in canon:
+            if not _canon_in_domain(canon):
                 continue
             box = Box(left, top1, right - left + 1, height1)
             rows.append((i, len(canons), len(canons) + 1))
@@ -248,6 +430,24 @@ def batch_extract_simple(
             rows.append((i, len(canons), len(canons) + len(r_canons)))
             canons.extend(r_canons)
             metas.extend(r_metas)
+        elif _eligible_markup(t):
+            m_rows.append((i, t))
+
+    if m_rows:
+        n_rows0, n_can0 = len(rows), len(canons)
+        try:
+            _markup_batch(m_rows, config, border, out, rows, canons, metas)
+        except Exception:
+            # defensive backstop (no known trigger — surrogates are
+            # gated up front and the batch machine reuses the exact
+            # per-turn primitives): roll the pool back to the stage-1/2
+            # state and send every stage-3 row down the per-turn path,
+            # which re-derives any _empty() rows identically
+            del rows[n_rows0:]
+            del canons[n_can0:]
+            del metas[n_can0:]
+            for i, _ in m_rows:
+                out[i] = None
 
     if rows:
         try:

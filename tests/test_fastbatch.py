@@ -42,17 +42,89 @@ def test_ineligible_shapes_fall_back():
     texts = [
         None,
         float("nan"),  # engine._clean_text maps to None before the call
-        "form\ffeed",  # stage 2 must NOT take \f: the document router
+        "form\ffeed",  # NO stage takes \f: the document router
         #              (extract_turn_auto) keys on it for tool turns
-        "<b>markup</b>",
-        "ansi \x1b[31mred\x1b[0m",
+        "<form\ffeed>",  # markup plus \f still falls back (router)
         "entity-minted markup &lt;script&gt; stays exact",
         "multi\nline with entity-minted markup &lt;tag&gt; falls back",
+        # stage-3 rows whose CROP canonicalizes back into REAL markup
+        # leave the flat machine's domain (char_scores' markup branch)
+        "<b>tag</b> then minted &lt;i&gt; inside the crop",
+        "markup <b>plus</b> a minted ansi run &#27;[31m colour",
     ]
     got = batch_extract_simple(
         [t if isinstance(t, str) else None for t in texts], FLAGSHIP_CONFIG)
     # None/ineligible rows must all be None (fallback), never a result
     assert all(r is None for r in got)
+
+
+def test_markup_turns_match_and_take_the_fast_path():
+    """Stage 3: markup/ANSI-bearing turns run the exact general
+    detection semantics with batched run extraction, crops pooled into
+    the shared flat decode — byte-identical to the per-turn path."""
+    texts = [
+        "<b>markup</b>",
+        "ansi \x1b[31mred text here\x1b[0m trailing",
+        "<p>para one</p>\n<p>para two with more text</p>",
+        "nav <a href=/x>link one</a> <a href=/y>link two</a> end",
+        "<!-- comment hiding <a>anchor</a> --> visible text after",
+        "<script>var x = '<a>';</script>body text that stays here",
+        "text <b>spanning</b> tags\nsecond line plain and long",
+        "[HEADER] masthead\n<p>body line kept alive</p>\n[PAGE 2]",
+        "<style>p{color:red}</style>styled body content here",
+        "unclosed <a href=z>anchor flows to end of the turn",
+        "<td>c1</td><td>c2</td>\n<td>c3 wider cell</td>",
+        "entities &amp; markup <i>mixed</i> stay&nbsp;exact",
+        "tag-split   <br/>   runs left and right of the break",
+        "\x1b[2J\x1b[Hcleared screen then a prompt $ ls -la output",
+        "<1notag> is not a tag so it survives as text",
+        "bare escape \x1b scores as a blank on both paths",
+        "CJK 漢字 <b>太字</b> かな混じりの行です。",
+    ]
+    _assert_matches(texts, min_eligible=len(texts))
+
+
+def test_fixture_markup_turns_all_match():
+    """Every markup-bearing row of the benchmark transcript fixture is
+    stage-3 eligible and byte-identical (the shape the SCALING_NOTES
+    residue analysis names)."""
+    from sparkocr.fixtures import turns_pandas
+
+    df = turns_pandas(seed=3, n_convs=40)
+    mk = [t for t in df["text"]
+          if isinstance(t, str) and ("<" in t or "\x1b" in t)
+          and "\f" not in t]
+    assert len(mk) > 100  # the ~12% markup share really is present
+    _assert_matches(mk, min_eligible=len(mk))
+    _assert_matches(mk, DEFAULT_CONFIG, min_eligible=len(mk))
+
+
+def test_randomized_markup_against_per_turn(seed=23, n=600):
+    """Adversarial markup fragments — nested/unclosed tags, anchors in
+    comments, script/style bodies, ANSI sequences, boiler markers,
+    entity mines — against the per-turn path across config variants."""
+    rng = random.Random(seed)
+    frag = [
+        "hello", "world 123", "<b>", "</b>", "<a href=x>", "</a>",
+        "<!--", "-->", "<script>", "</script>", "<style>x{}</style>",
+        "\x1b[31m", "\x1b[0m", "\x1b", "&lt;", "&gt;", "&amp;",
+        "&#60;", "&#10;", "[HEADER]", "[PAGE 3]", "=== PAGE 1 ===",
+        "   ", "\t", "\n", "\r\n", "\r", "、。", "漢字テキスト",
+        "한글", "...", "!!!", "||", "- item", "1. x", "```",
+        "    code", "<notclosed", "x>", "<1notag>",
+        "<a>link text</a>", "\x1b[2J", "&quot;", "😀", "é",
+        "<A HREF=y>", "</A >",
+    ]
+    cases = ["<b>" * rng.randint(0, 1)
+             + "".join(rng.choice(frag) for _ in range(rng.randint(1, 14)))
+             for _ in range(n)]
+    from sparkocr.config import EngineConfig
+
+    for cfg in (FLAGSHIP_CONFIG, EngineConfig(merge_boxes=False),
+                EngineConfig(merge_threshold=5),
+                EngineConfig(rect_border_size=0),
+                EngineConfig(max_rec_lines=2)):
+        _assert_matches(cases, cfg)
 
 
 def test_multiline_plain_turns_match_and_take_the_fast_path():
