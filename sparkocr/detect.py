@@ -79,7 +79,7 @@ class TurnGrid:
         self.grid_h = len(self.lines) * LINE_HEIGHT
 
 
-def line_scores(grid: TurnGrid) -> np.ndarray:
+def line_scores(grid: TurnGrid, line_ids: np.ndarray | None = None) -> np.ndarray:
     """Per-line content score in 0..255 — the probability map.
 
     score = 255 * text_density * (1 - link_density), truncated like the
@@ -87,13 +87,20 @@ def line_scores(grid: TurnGrid) -> np.ndarray:
     text_density = text_chars / (text_chars + MARKUP_WEIGHT*markup_chars)
     and link_density = anchor text chars / text chars. Layout boilerplate
     lines ([HEADER]/[FOOTER]/[PAGE n] markers) score 0.
+
+    ``line_ids`` optionally supplies the per-char line-index array
+    (``np.cumsum(cp == 10) - (cp == 10)``) when the caller already
+    computed it — the batch fast path (fastbatch stage 3) needs the
+    same array for its run mask and passes it in to avoid a duplicate
+    O(n) pass per turn.
     """
     n_lines = len(grid.lines)
     cp, mk = grid.cp, grid.mk
     if len(cp) == 0:
         return np.zeros(n_lines, dtype=np.int64)
     nl = cp == 10
-    line_id = np.cumsum(nl) - nl  # newline char belongs to the line it ends
+    # newline char belongs to the line it ends
+    line_id = np.cumsum(nl) - nl if line_ids is None else line_ids
     ws = (cp == 9) | (cp == 32) | nl
     vis_ns = ~mk & ~ws
     an = anchor_mask(grid.text, grid.opq)

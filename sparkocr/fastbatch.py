@@ -198,20 +198,20 @@ def _markup_batch(m_rows, config: EngineConfig, border: int,
     construction. Successful rows append their crops to the shared
     flat-decode pool; a row whose crop canonicalizes to text carrying
     ``<``/ESC is left at ``None`` (per-turn fallback)."""
-    prepped = []        # (row index, grid, on) — turns with any ON line
+    prepped = []        # (row index, grid) — turns with any ON line
     ok_parts: list[np.ndarray] = []
     vis_parts: list[np.ndarray] = []
     gap_b = np.zeros(1, dtype=bool)
     for i, t in m_rows:
         grid = TurnGrid(t)
-        sc = line_scores(grid)
+        cp = grid.cp
+        nl = cp == _NL
+        line_id = np.cumsum(nl) - nl
+        sc = line_scores(grid, line_ids=line_id)
         on = sc > THRESHOLD
         if not on.any():
             out[i] = _empty()
             continue
-        cp = grid.cp
-        nl = cp == _NL
-        line_id = np.cumsum(nl) - nl
         ok = ~grid.mk & ~nl & on[line_id]
         vis = ok & (cp != 0x20) & (cp != 0x09)
         prepped.append((i, grid))
