@@ -87,10 +87,14 @@ def main(n_batches=2000, batch_size=64, seed0=1000):
             k = rng.randint(0, 60)
             texts.append("".join(rng.choice(pieces) for _ in range(k)))
         name, cfg = CONFIGS[bi % len(CONFIGS)]
+        # alternate the engine's two modes: routing off (\f rows run the
+        # stage-3 general machine) and routing on (\f rows fall back)
+        aff = bi % 2 == 0
         try:
-            n_fast = assert_matches(texts, cfg)
+            n_fast = assert_matches(texts, cfg, allow_formfeed=aff)
         except AssertionError as e:
-            raise AssertionError(f"config {name}: {e}") from e
+            raise AssertionError(
+                f"config {name} allow_formfeed={aff}: {e}") from e
         total += len(texts)
         fast += n_fast
         if (bi + 1) % 200 == 0:

@@ -159,9 +159,13 @@ class SparkOcrEngine:
                 # in one vectorized pass over the whole Arrow batch
                 # (byte-identical to the per-turn path — differential-
                 # tested); residue rows fall through below. Valid under
-                # route_documents too: eligibility excludes \f, so the
-                # router always lands on extract_turn for these rows.
-                fast = batch_extract_simple(cleaned, cfg)
+                # route_documents too: with routing on, \f rows are
+                # excluded from every stage so the router always sees
+                # them; without routing, allow_formfeed sends them
+                # through the stage-3 general machine (extract_turn
+                # folds \f to \n — same semantics, batched).
+                fast = batch_extract_simple(
+                    cleaned, cfg, allow_formfeed=not route_documents)
                 for i in range(n):
                     r = fast[i]
                     if r is None:

@@ -175,6 +175,16 @@ def _eligible_markup(t) -> bool:
     )
 
 
+def _eligible_formfeed(t) -> bool:
+    """Form-feed rows for the NON-routing extract path: when the caller
+    is ``extract_turn`` (no document router in play), ``TurnGrid``
+    folds ``\\f`` to ``\\n`` and the turn is just another general-path
+    turn — the stage-3 machine handles it exactly. Callers that route
+    documents (``extract_turn_auto``) must NOT enable this: the router
+    keys on ``\\f`` and those rows need to reach it."""
+    return isinstance(t, str) and "\f" in t and _no_surrogates(t)
+
+
 def _markup_batch(m_rows, config: EngineConfig, border: int,
                   out, rows, canons, metas) -> None:
     """Stage-3 detection + crop assembly for a batch of markup-bearing
@@ -373,12 +383,19 @@ def _plain_multiline_crops(t: str, config: EngineConfig, border: int):
 
 
 def batch_extract_simple(
-    texts, config: EngineConfig = DEFAULT_CONFIG
+    texts, config: EngineConfig = DEFAULT_CONFIG,
+    allow_formfeed: bool = False,
 ) -> list:
     """Process every eligible turn of ``texts`` (a sequence of
     already-``_clean_text``-ed values) in one vectorized pass. Returns a
     list aligned with ``texts``: a ``TurnResult`` where a fast path
-    applied, ``None`` where the caller must run the per-turn pipeline."""
+    applied, ``None`` where the caller must run the per-turn pipeline.
+
+    ``allow_formfeed=True`` additionally routes form-feed rows through
+    the stage-3 general machine (byte-identical to ``extract_turn``,
+    which folds ``\\f`` to ``\\n``). ONLY valid when the caller's
+    fallback is ``extract_turn`` — with ``route_documents`` the router
+    keys on ``\\f`` and those rows must fall back to it instead."""
     n = len(texts)
     out: list = [None] * n
     border = config.rect_border_size
@@ -430,7 +447,7 @@ def batch_extract_simple(
             rows.append((i, len(canons), len(canons) + len(r_canons)))
             canons.extend(r_canons)
             metas.extend(r_metas)
-        elif _eligible_markup(t):
+        elif _eligible_markup(t) or (allow_formfeed and _eligible_formfeed(t)):
             m_rows.append((i, t))
 
     if m_rows:

@@ -11,12 +11,18 @@ from sparkocr.fastbatch import batch_extract_simple
 from sparkocr.pipeline import extract_turn
 
 
-def assert_matches(texts, config=FLAGSHIP_CONFIG, min_eligible=None):
+def assert_matches(texts, config=FLAGSHIP_CONFIG, min_eligible=None,
+                   allow_formfeed=False):
     """For every row either the batch result is byte-identical to
     pipeline.extract_turn (text, confidence BITS, spans, geometry,
     block type) or the row is declared ineligible (None) and falls
-    back. Returns the number of rows that took the fast path."""
-    got = batch_extract_simple(list(texts), config)
+    back. Returns the number of rows that took the fast path.
+    ``allow_formfeed`` mirrors the engine's non-routing mode: \\f rows
+    run the stage-3 general machine and are still compared against
+    extract_turn (which folds \\f — the same fallback the engine uses
+    when routing is off)."""
+    got = batch_extract_simple(list(texts), config,
+                               allow_formfeed=allow_formfeed)
     n_fast = 0
     for t, r in zip(texts, got):
         if r is None:

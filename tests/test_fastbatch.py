@@ -84,6 +84,28 @@ def test_markup_turns_match_and_take_the_fast_path():
     _assert_matches(texts, min_eligible=len(texts))
 
 
+def test_formfeed_turns_match_under_allow_formfeed():
+    """Non-routing mode: \\f rows run the stage-3 general machine
+    (TurnGrid folds \\f to \\n on both paths) and must be byte-identical
+    to extract_turn. With the flag OFF (the default, and the engine's
+    route_documents mode) the same rows must all fall back so the
+    document router keeps seeing them."""
+    from sparkocr.fixtures import turns_pandas
+
+    df = turns_pandas(seed=3, n_convs=40)
+    ff = [t for t in df["text"] if isinstance(t, str) and "\f" in t]
+    assert len(ff) > 50
+    texts = ff + [
+        "one\fpage two\fpage three",
+        "\f\f\f",
+        "[PAGE 1]\fbody text of page two here\f--- 42 ---",
+        "<b>markup</b>\fwith a page break",
+    ]
+    _assert_matches(texts, allow_formfeed=True, min_eligible=len(texts))
+    got = batch_extract_simple(texts, FLAGSHIP_CONFIG)
+    assert all(r is None for r in got)  # default: every \f row falls back
+
+
 def test_fixture_markup_turns_all_match():
     """Every markup-bearing row of the benchmark transcript fixture is
     stage-3 eligible and byte-identical (the shape the SCALING_NOTES
