@@ -87,14 +87,22 @@ def main(n_batches=2000, batch_size=64, seed0=1000):
             k = rng.randint(0, 60)
             texts.append("".join(rng.choice(pieces) for _ in range(k)))
         name, cfg = CONFIGS[bi % len(CONFIGS)]
-        # alternate the engine's two modes: routing off (\f rows run the
-        # stage-3 general machine) and routing on (\f rows fall back)
-        aff = bi % 2 == 0
+        # cycle the engine's three modes: plain (\f rows fall back),
+        # allow_formfeed (\f rows run the stage-3 general machine), and
+        # routing (roles array: tool+\f rows run the stage-4 document
+        # machine, other \f rows run stage 3)
+        mode = bi % 3
+        aff = mode == 1
+        roles = None
+        if mode == 2:
+            roles = [rng.choice(["user", "assistant", "tool", "tool"])
+                     for _ in texts]
         try:
-            n_fast = assert_matches(texts, cfg, allow_formfeed=aff)
+            n_fast = assert_matches(texts, cfg, allow_formfeed=aff,
+                                    roles=roles)
         except AssertionError as e:
             raise AssertionError(
-                f"config {name} allow_formfeed={aff}: {e}") from e
+                f"config {name} mode={mode}: {e}") from e
         total += len(texts)
         fast += n_fast
         if (bi + 1) % 200 == 0:

@@ -158,14 +158,18 @@ class SparkOcrEngine:
                 # batch fast path: the common simple-turn shape decodes
                 # in one vectorized pass over the whole Arrow batch
                 # (byte-identical to the per-turn path — differential-
-                # tested); residue rows fall through below. Valid under
-                # route_documents too: with routing on, \f rows are
-                # excluded from every stage so the router always sees
-                # them; without routing, allow_formfeed sends them
-                # through the stage-3 general machine (extract_turn
-                # folds \f to \n — same semantics, batched).
+                # tested); residue rows fall through below. Form-feed
+                # rows batch in BOTH modes: without routing they run
+                # the stage-3 general machine (extract_turn folds \f to
+                # \n — same semantics, batched); with routing the roles
+                # array sends tool-role documents through the stage-4
+                # machine (batched layout parse + pooled decode) and
+                # other \f rows through stage 3, mirroring
+                # extract_turn_auto's own dispatch.
                 fast = batch_extract_simple(
-                    cleaned, cfg, allow_formfeed=not route_documents)
+                    cleaned, cfg,
+                    allow_formfeed=not route_documents,
+                    roles=roles if route_documents else None)
                 for i in range(n):
                     r = fast[i]
                     if r is None:

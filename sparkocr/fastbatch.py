@@ -74,8 +74,6 @@ across crops.
 
 from __future__ import annotations
 
-from bisect import bisect_right
-
 import numpy as np
 
 from .config import (
@@ -87,10 +85,15 @@ from .config import (
     SCORE_OTHER,
     SCORE_PUNCT,
     SCORE_WORD,
-    THRESHOLD,
     EngineConfig,
 )
-from .detect import Box, TurnGrid, crop_box, line_scores, merge_overlapping_boxes
+from .detect import (
+    Box,
+    TurnGrid,
+    crop_box,
+    find_text_boxes_batch,
+    merge_overlapping_boxes,
+)
 from .pipeline import Block, TurnResult
 from .recognize import canonicalize, classify_block, decode
 from .textgrid import (
@@ -185,104 +188,59 @@ def _eligible_formfeed(t) -> bool:
     return isinstance(t, str) and "\f" in t and _no_surrogates(t)
 
 
+def _document_batch(d_rows, config: EngineConfig,
+                    out, rows, canons, metas) -> None:
+    """Stage-4: routing-mode document turns (tool role + form-feed).
+    The layout parse runs batched (``layout.parse_documents_batch`` —
+    every page of every payload shares one detection pass) and the
+    body/table region decodes pool into the shared flat decode.
+    Byte-identical to ``pipeline.extract_turn_auto``'s document branch:
+    blocks carry the region type as block_type and page-granular
+    geometry (left=0, top=page·LINE_HEIGHT, width=span length), pos
+    counts only the decoded body/table blocks — all encoded in the
+    4-element metas consumed by ``_decode_flat``."""
+    from .layout import parse_documents_batch
+
+    texts = [t for _, t in d_rows]
+    all_regions = parse_documents_batch(texts, config)
+    for (i, _), regions in zip(d_rows, all_regions):
+        r_canons: list[str] = []
+        r_metas: list[tuple] = []
+        in_domain = True
+        for reg in regions:
+            if reg.region_type not in ("body", "table"):
+                continue
+            canon = canonicalize(reg.text, config.max_rec_lines)
+            if not _canon_in_domain(canon):
+                in_domain = False
+                break
+            box = Box(0, reg.page * LINE_HEIGHT,
+                      reg.end - reg.start, LINE_HEIGHT)
+            r_canons.append(canon)
+            r_metas.append((box, reg.start, reg.end, reg.region_type))
+        if not in_domain:
+            continue
+        if not r_canons:
+            out[i] = _empty()
+            continue
+        rows.append((i, len(canons), len(canons) + len(r_canons)))
+        canons.extend(r_canons)
+        metas.extend(r_metas)
+
+
 def _markup_batch(m_rows, config: EngineConfig, border: int,
                   out, rows, canons, metas) -> None:
     """Stage-3 detection + crop assembly for a batch of markup-bearing
-    turns. Semantics are the general path of ``find_text_boxes``
-    verbatim — ``TurnGrid``/``line_scores``/``merge_overlapping_boxes``
-    /``crop_box`` ARE the per-turn functions — except the per-ON-line
-    run extraction, which this function performs with one
-    diff/searchsorted pass over the whole batch's concatenated grid:
-
-    - ok = not markup, not newline, line score > THRESHOLD; a one-slot
-      False gap between turns keeps runs from bridging rows (newlines
-      already break runs within a turn, so runs never cross lines)
-    - per run, the visible-char trim (per-line ``nz``) becomes two
-      searchsorteds into the global visible-position index
-    - width filter, border expansion, and clamps are the exact
-      bounding_rect/find_box arithmetic (det.rs:509-510, 375-376),
-      vectorized over all runs
-
-    Run order (ascending global position) IS discovery order (top line
-    first, left to right), so box order matches the per-turn path by
-    construction. Successful rows append their crops to the shared
-    flat-decode pool; a row whose crop canonicalizes to text carrying
-    ``<``/ESC is left at ``None`` (per-turn fallback)."""
-    prepped = []        # (row index, grid) — turns with any ON line
-    ok_parts: list[np.ndarray] = []
-    vis_parts: list[np.ndarray] = []
-    gap_b = np.zeros(1, dtype=bool)
-    for i, t in m_rows:
-        grid = TurnGrid(t)
-        cp = grid.cp
-        nl = cp == _NL
-        line_id = np.cumsum(nl) - nl
-        sc = line_scores(grid, line_ids=line_id)
-        on = sc > THRESHOLD
-        if not on.any():
-            out[i] = _empty()
-            continue
-        ok = ~grid.mk & ~nl & on[line_id]
-        vis = ok & (cp != 0x20) & (cp != 0x09)
-        prepped.append((i, grid))
-        ok_parts.append(ok)
-        ok_parts.append(gap_b)
-        vis_parts.append(vis)
-        vis_parts.append(gap_b)
-    if not prepped:
-        return
-    ok_all = np.concatenate(ok_parts)
-    vis_all = np.concatenate(vis_parts)
-    # base offset of each turn in the concatenated grid (+1 gap each)
-    sizes = np.fromiter((len(p[1].cp) + 1 for p in prepped),
-                        dtype=np.int64, count=len(prepped))
-    bases = np.concatenate(([0], np.cumsum(sizes)[:-1]))
-
-    d = np.diff(ok_all.astype(np.int8), prepend=np.int8(0),
-                append=np.int8(0))
-    starts = np.flatnonzero(d == 1)
-    ends = np.flatnonzero(d == -1)
-    vis_idx = np.flatnonzero(vis_all)
-    lo = np.searchsorted(vis_idx, starts)
-    hi = np.searchsorted(vis_idx, ends)
-    keep = hi > lo                       # run has a visible char
-    starts, ends, lo, hi = starts[keep], ends[keep], lo[keep], hi[keep]
-    if starts.size:
-        c0 = vis_idx[lo]
-        c1 = vis_idx[hi - 1]
-        keep = (c1 - c0) > MIN_BOX_SIZE  # width w/o +1 (det.rs:509-510)
-        starts, ends, c0, c1 = starts[keep], ends[keep], c0[keep], c1[keep]
-    else:
-        c0 = c1 = starts
-    t_of = np.searchsorted(bases, starts, side="right") - 1
-    # per-run geometry, vectorized; columns become line-local below
-    left_g = np.maximum(c0 - border, starts)
-    right_g = np.minimum(c1 + border, ends - 1)
-
-    r = 0
-    n_runs = len(starts)
-    for k, (i, grid) in enumerate(prepped):
-        boxes: list[Box] = []
-        base = bases[k]
-        offs = grid.line_offsets
-        last = len(grid.lines) - 1
-        while r < n_runs and t_of[r] == k:
-            p0 = int(c0[r] - base)
-            # runs never cross lines: the line of the first visible
-            # char is the run's line
-            y = _line_of(offs, p0, last)
-            ls = offs[y]
-            top = max(y * LINE_HEIGHT + GLYPH_TOP - border, 0)
-            bottom = min(y * LINE_HEIGHT + GLYPH_BOTTOM + border,
-                         grid.grid_h - 1)
-            left = int(left_g[r] - base) - ls
-            right = int(right_g[r] - base) - ls
-            # +1 on width/height, mirroring find_box (det.rs:375-376)
-            boxes.append(Box(left, top, right - left + 1,
-                             bottom - top + 1))
-            r += 1
-        if config.merge_boxes:
-            boxes = merge_overlapping_boxes(boxes, config.merge_threshold)
+    (or, under ``allow_formfeed``, form-feed) turns. Detection is
+    ``detect.find_text_boxes_batch`` — the exact general-path semantics
+    with the per-ON-line segment loop batched over all turns at once —
+    and ``crop_box`` is the per-turn function. Successful rows append
+    their crops to the shared flat-decode pool; a row whose crop
+    canonicalizes out of the flat machine's domain (see
+    ``_canon_in_domain``) is left at ``None`` (per-turn fallback)."""
+    grids = [TurnGrid(t) for _, t in m_rows]
+    all_boxes = find_text_boxes_batch(grids, config)
+    for (i, _), grid, boxes in zip(m_rows, grids, all_boxes):
         if not boxes:
             out[i] = _empty()
             continue
@@ -302,13 +260,6 @@ def _markup_batch(m_rows, config: EngineConfig, border: int,
         rows.append((i, len(canons), len(canons) + len(r_canons)))
         canons.extend(r_canons)
         metas.extend(r_metas)
-
-
-def _line_of(offs: list, pos: int, last: int) -> int:
-    """Line index of char offset ``pos`` given ascending line offsets —
-    runs carry few boxes per turn, so a bisect beats materializing a
-    per-char line-id array for the whole turn a second time."""
-    return min(bisect_right(offs, pos) - 1, last)
 
 
 def _plain_multiline_crops(t: str, config: EngineConfig, border: int):
@@ -385,6 +336,7 @@ def _plain_multiline_crops(t: str, config: EngineConfig, border: int):
 def batch_extract_simple(
     texts, config: EngineConfig = DEFAULT_CONFIG,
     allow_formfeed: bool = False,
+    roles=None,
 ) -> list:
     """Process every eligible turn of ``texts`` (a sequence of
     already-``_clean_text``-ed values) in one vectorized pass. Returns a
@@ -395,7 +347,15 @@ def batch_extract_simple(
     the stage-3 general machine (byte-identical to ``extract_turn``,
     which folds ``\\f`` to ``\\n``). ONLY valid when the caller's
     fallback is ``extract_turn`` — with ``route_documents`` the router
-    keys on ``\\f`` and those rows must fall back to it instead."""
+    keys on ``\\f`` and those rows must fall back to it instead.
+
+    ``roles`` (aligned with ``texts``) enables the ROUTING-mode
+    equivalent instead: form-feed turns with role ``tool`` run the
+    stage-4 document machine (batched layout parse + pooled decode,
+    byte-identical to ``extract_turn_auto``'s document branch) and
+    form-feed turns with any other role run the stage-3 general machine
+    (``extract_turn_auto`` sends exactly those to ``extract_turn``).
+    Mutually exclusive with ``allow_formfeed``."""
     n = len(texts)
     out: list = [None] * n
     border = config.rect_border_size
@@ -407,7 +367,8 @@ def batch_extract_simple(
     canons: list[str] = []    # canonical crop text, all rows flattened
     metas: list[tuple] = []   # per crop: (box, span_start, span_end)
     rows: list[tuple] = []    # per flat row: (row index, k0, k1) crop slice
-    m_rows: list[tuple] = []  # stage-3 (markup) rows: (row index, text)
+    m_rows: list[tuple] = []  # stage-3 (markup/general) rows: (row index, text)
+    d_rows: list[tuple] = []  # stage-4 (routed document) rows: (row index, text)
     for i in range(n):
         t = texts[i]
         if _eligible(t):
@@ -447,23 +408,35 @@ def batch_extract_simple(
             rows.append((i, len(canons), len(canons) + len(r_canons)))
             canons.extend(r_canons)
             metas.extend(r_metas)
-        elif _eligible_markup(t) or (allow_formfeed and _eligible_formfeed(t)):
+        elif _eligible_markup(t):
             m_rows.append((i, t))
+        elif _eligible_formfeed(t):
+            if roles is not None:
+                (d_rows if roles[i] == "tool" else m_rows).append((i, t))
+            elif allow_formfeed:
+                m_rows.append((i, t))
 
-    if m_rows:
+    for batch_fn, batch_rows in (
+        (lambda br: _markup_batch(br, config, border,
+                                  out, rows, canons, metas), m_rows),
+        (lambda br: _document_batch(br, config,
+                                    out, rows, canons, metas), d_rows),
+    ):
+        if not batch_rows:
+            continue
         n_rows0, n_can0 = len(rows), len(canons)
         try:
-            _markup_batch(m_rows, config, border, out, rows, canons, metas)
+            batch_fn(batch_rows)
         except Exception:
             # defensive backstop (no known trigger — surrogates are
-            # gated up front and the batch machine reuses the exact
-            # per-turn primitives): roll the pool back to the stage-1/2
-            # state and send every stage-3 row down the per-turn path,
-            # which re-derives any _empty() rows identically
+            # gated up front and the batch machines reuse the exact
+            # per-turn primitives): roll the pool back and send every
+            # row of this stage down the per-turn path, which
+            # re-derives any _empty() rows identically
             del rows[n_rows0:]
             del canons[n_can0:]
             del metas[n_can0:]
-            for i, _ in m_rows:
+            for i, _ in batch_rows:
                 out[i] = None
 
     if rows:
@@ -524,10 +497,15 @@ def _decode_flat(rows, canons, metas, out, config: EngineConfig) -> None:
                 # exact arithmetic of recognize_crop (rec.rs:179-186)
                 conf = float(np.float32(d_sc.sum(dtype=np.float32))
                              / np.float32(len(d_sc)))
-            box, start, end = metas[j]
+            meta = metas[j]
+            box, start, end = meta[0], meta[1], meta[2]
+            # 4-element metas (stage 4) carry the block type — the
+            # region classification from the layout parser — instead
+            # of deriving it from the crop text
+            btype = meta[3] if len(meta) > 3 else classify_block(canons[j])
             blocks.append(Block(
                 pos=j - k0, text=text, confidence=conf,
-                block_type=classify_block(canons[j]),
+                block_type=btype,
                 left=box.left, top=box.top,
                 width=box.width, height=box.height,
                 start=start, end=end,

@@ -48,7 +48,7 @@ from pyspark.sql.types import (
 )
 
 from .config import DEFAULT_CONFIG, EngineConfig
-from .detect import TurnGrid, crop_box, find_text_boxes
+from .detect import TurnGrid, crop_box, find_text_boxes_batch
 
 PAGE_SEP = "\f"
 
@@ -76,13 +76,47 @@ def _is_tableish(text: str) -> bool:
 def parse_document(text: str | None,
                    config: EngineConfig = DEFAULT_CONFIG) -> list[Region]:
     """Parse one embedded-document payload into classified layout
-    regions. Deterministic, pure; the vectorized UDF below is a thin
-    batching wrapper around this."""
-    if not text:
-        return []
-    pages = text.split(PAGE_SEP)
+    regions. Deterministic, pure; thin wrapper over the batched
+    implementation so there is exactly ONE parser."""
+    return parse_documents_batch([text], config)[0]
 
-    # pass 1: detect regions per page (global offsets via page_base).
+
+def parse_documents_batch(
+    texts, config: EngineConfig = DEFAULT_CONFIG
+) -> list[list[Region]]:
+    """``parse_document`` over many payloads with per-page region
+    detection batched through ``detect.find_text_boxes_batch`` — ALL
+    pages of ALL documents share one vectorized run-extraction pass
+    (the measured hot spot of the single-doc parser; the head/foot
+    counters and classification are per-doc logic and stay as they
+    were). The single-payload ``parse_document`` delegates here, so the
+    existing golden/oracle suites pin this implementation directly."""
+    pages_per_doc: list[list[str] | None] = []
+    grids: list[TurnGrid] = []
+    slices: list[tuple[int, int]] = []
+    for text in texts:
+        if not text:
+            pages_per_doc.append(None)
+            slices.append((len(grids), len(grids)))
+            continue
+        pages = text.split(PAGE_SEP)
+        pages_per_doc.append(pages)
+        s = len(grids)
+        grids.extend(TurnGrid(p) for p in pages)
+        slices.append((s, len(grids)))
+    boxes_all = find_text_boxes_batch(grids, config)
+    return [
+        [] if pages is None else _classify_document(
+            pages, grids[s:e], boxes_all[s:e], config)
+        for pages, (s, e) in zip(pages_per_doc, slices)
+    ]
+
+
+def _classify_document(pages, page_grids, page_boxes,
+                       config: EngineConfig) -> list[Region]:
+    """Passes 1-3 of the document parser for one payload, given each
+    page's already-detected boxes."""
+    # pass 1: crop regions per page (global offsets via page_base).
     # Page-number lines are shorter than the detector's MIN_BOX_SIZE
     # noise filter (det.rs:37 semantics — a bare "3" is noise to the
     # density detector), so the trailing raw line of each page is checked
@@ -91,9 +125,9 @@ def parse_document(text: str | None,
     page_numbers: list[tuple[int, str, int, int] | None] = []
     page_base = 0
     for page_no, page_text in enumerate(pages):
-        grid = TurnGrid(page_text)
+        grid = page_grids[page_no]
         rows = []
-        for b in find_text_boxes(grid, config):
+        for b in page_boxes[page_no]:
             crop, start, end = crop_box(grid, b)
             rows.append((crop, page_base + start, page_base + end))
         pn = None
@@ -185,9 +219,12 @@ def parse_layout(
         for pdf in batches:
             regions_col, body_col = [], []
             n_pages_col, n_regions_col = [], []
-            for text in pdf["__text__"]:
-                text = None if (text is None or isinstance(text, float)) else text
-                regions = parse_document(text, config)
+            texts = [None if (t is None or isinstance(t, float)) else t
+                     for t in pdf["__text__"]]
+            # every page of every payload in the Arrow batch shares one
+            # vectorized detection pass
+            all_regions = parse_documents_batch(texts, config)
+            for text, regions in zip(texts, all_regions):
                 regions_col.append([r.__dict__ for r in regions])
                 n_pages_col.append(len(text.split(PAGE_SEP)) if text else 0)
                 n_regions_col.append(len(regions))

@@ -8,11 +8,11 @@ from a bare interpreter."""
 
 from sparkocr.config import FLAGSHIP_CONFIG
 from sparkocr.fastbatch import batch_extract_simple
-from sparkocr.pipeline import extract_turn
+from sparkocr.pipeline import extract_turn, extract_turn_auto
 
 
 def assert_matches(texts, config=FLAGSHIP_CONFIG, min_eligible=None,
-                   allow_formfeed=False):
+                   allow_formfeed=False, roles=None):
     """For every row either the batch result is byte-identical to
     pipeline.extract_turn (text, confidence BITS, spans, geometry,
     block type) or the row is declared ineligible (None) and falls
@@ -20,15 +20,22 @@ def assert_matches(texts, config=FLAGSHIP_CONFIG, min_eligible=None,
     ``allow_formfeed`` mirrors the engine's non-routing mode: \\f rows
     run the stage-3 general machine and are still compared against
     extract_turn (which folds \\f — the same fallback the engine uses
-    when routing is off)."""
+    when routing is off). ``roles`` mirrors the routing mode: the
+    oracle becomes extract_turn_auto(t, role) — the engine's
+    route_documents fallback — so stage-4 document rows are compared
+    against the layout-parse branch."""
     got = batch_extract_simple(list(texts), config,
-                               allow_formfeed=allow_formfeed)
+                               allow_formfeed=allow_formfeed,
+                               roles=roles)
     n_fast = 0
-    for t, r in zip(texts, got):
+    for k, (t, r) in enumerate(zip(texts, got)):
         if r is None:
             continue
         n_fast += 1
-        want = extract_turn(t, config)
+        if roles is not None:
+            want = extract_turn_auto(t, roles[k], config)
+        else:
+            want = extract_turn(t, config)
         assert r.error_code == want.error_code, ascii(t)
         assert r.full_text == want.full_text, ascii(t)
         assert len(r.blocks) == len(want.blocks), ascii(t)

@@ -106,6 +106,32 @@ def test_formfeed_turns_match_under_allow_formfeed():
     assert all(r is None for r in got)  # default: every \f row falls back
 
 
+def test_routing_mode_document_turns_match():
+    """Stage 4: with a roles array (the engine's route_documents mode)
+    tool-role form-feed turns run the batched layout parse + pooled
+    decode and must be byte-identical to extract_turn_auto's document
+    branch; \\f rows with other roles run the stage-3 general machine
+    (extract_turn_auto sends exactly those to extract_turn)."""
+    from sparkocr.fixtures import turns_pandas
+
+    df = turns_pandas(seed=3, n_convs=40)
+    texts, roles = list(df["text"]), list(df["role"])
+    n = _assert_matches(texts, roles=roles)
+    assert n == len(texts)  # full coverage in routing mode too
+    _assert_matches(texts, DEFAULT_CONFIG, roles=roles,
+                    min_eligible=len(texts))
+    # hand-built document payloads: headers/footers/page numbers,
+    # tables, a page-number-only page, an empty page
+    doc = ("RUNNING HEAD\nbody text of the first page here\n12\f"
+           "RUNNING HEAD\nsecond page body | a | b |\n| c | d |\n13\f"
+           "RUNNING HEAD\nthird page closing body line\n14")
+    cases = [doc, "one page only, no headers", "\f\f", "x\f" + "y" * 40]
+    _assert_matches(cases, roles=["tool"] * len(cases),
+                    min_eligible=len(cases))
+    _assert_matches(cases, roles=["assistant"] * len(cases),
+                    min_eligible=len(cases))
+
+
 def test_fixture_markup_turns_all_match():
     """Every markup-bearing row of the benchmark transcript fixture is
     stage-3 eligible and byte-identical (the shape the SCALING_NOTES
