@@ -47,6 +47,34 @@ HOSTILE = [
     "&#10;", "&#60;", "&lt;b&gt;", "&#55296;", "\f", "\x1b[31m",
     "<b>", "</b>", "\ud800", "\udfff", "😀",
 ]
+# stage-4 drill: document-shaped payloads (pages joined by \f with
+# recurring running heads and numeric tails) so the routing mode
+# exercises the layout classifier's data-dependent paths — running-head
+# Counter thresholds, the page-number tail check, the covered-overlap
+# dedup — not just junk-with-\f rows
+HEADS = ["RUNNING HEAD", "Acme Corp Confidential", "=== PAGE 1 ==="]
+TAILS = ["12", "- 7 -", "--- 42 ---", "page 9", "not a number"]
+
+
+def _doc_payload(rng):
+    head = rng.choice(HEADS)
+    foot = rng.choice(HEADS)
+    pages = []
+    for pn in range(rng.randint(1, 5)):
+        lines = []
+        if rng.random() < 0.8:
+            lines.append(head)
+        for _ in range(rng.randint(0, 4)):
+            lines.append("".join(rng.choice(PLAIN)
+                                 for _ in range(rng.randint(3, 20))))
+        if rng.random() < 0.5:
+            lines.append(foot)
+        if rng.random() < 0.7:
+            lines.append(rng.choice(TAILS))
+        pages.append("\n".join(lines))
+    return "\f".join(pages)
+
+
 # stage-3 drill: real tags/anchors/comments/script/ANSI/boiler so most
 # rows land in the markup batch machine (not the fallback gates)
 MARKUP = [
@@ -95,6 +123,10 @@ def main(n_batches=2000, batch_size=64, seed0=1000):
         aff = mode == 1
         roles = None
         if mode == 2:
+            # routing mode: swap ~1/3 of rows for document-shaped
+            # payloads so the stage-4 classifier paths get real input
+            texts = [(_doc_payload(rng) if rng.random() < 0.35 else t)
+                     for t in texts]
             roles = [rng.choice(["user", "assistant", "tool", "tool"])
                      for _ in texts]
         try:

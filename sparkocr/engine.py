@@ -166,10 +166,11 @@ class SparkOcrEngine:
                 # machine (batched layout parse + pooled decode) and
                 # other \f rows through stage 3, mirroring
                 # extract_turn_auto's own dispatch.
+                # roles is only populated when route_documents is on
                 fast = batch_extract_simple(
                     cleaned, cfg,
                     allow_formfeed=not route_documents,
-                    roles=roles if route_documents else None)
+                    roles=roles)
                 for i in range(n):
                     r = fast[i]
                     if r is None:

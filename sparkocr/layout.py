@@ -107,15 +107,15 @@ def parse_documents_batch(
     boxes_all = find_text_boxes_batch(grids, config)
     return [
         [] if pages is None else _classify_document(
-            pages, grids[s:e], boxes_all[s:e], config)
+            pages, grids[s:e], boxes_all[s:e])
         for pages, (s, e) in zip(pages_per_doc, slices)
     ]
 
 
-def _classify_document(pages, page_grids, page_boxes,
-                       config: EngineConfig) -> list[Region]:
+def _classify_document(pages, page_grids, page_boxes) -> list[Region]:
     """Passes 1-3 of the document parser for one payload, given each
-    page's already-detected boxes."""
+    page's already-detected boxes (classification itself is
+    config-independent — the config acts only through detection)."""
     # pass 1: crop regions per page (global offsets via page_base).
     # Page-number lines are shorter than the detector's MIN_BOX_SIZE
     # noise filter (det.rs:37 semantics — a bare "3" is noise to the
