@@ -40,7 +40,13 @@ from pyspark.sql.types import (
 
 from .barrier import pin
 from .config import DEFAULT_CONFIG, FLAGSHIP_CONFIG, EngineConfig
-from .detect import TurnGrid, box_span, crop_box, find_text_boxes
+from .detect import (
+    TurnGrid,
+    box_span,
+    crop_box,
+    find_text_boxes,
+    find_text_boxes_batch,
+)
 from .pipeline import extract_turn
 from .recognize import classify_block, recognize_crop
 
@@ -90,6 +96,27 @@ def _clean_text(v) -> Optional[str]:
     if isinstance(v, float):  # NaN from pandas
         return None
     return v
+
+
+def _batched_grids(s):
+    """Shared prep for the detection-only verbs: clean every row, build
+    a TurnGrid per valid row (per-row try — a surrogate-bearing row
+    fails its UTF-32 encode HERE and stays an empty result, the same
+    poison containment the per-row loops had), and return
+    (out, grids, idx) where ``out`` is pre-filled with [] and ``idx``
+    maps grids back to row positions."""
+    out: list = [[] for _ in range(len(s))]
+    grids, idx = [], []
+    for i, text in enumerate(s):
+        text = _clean_text(text)
+        if text is None:
+            continue
+        try:
+            grids.append(TurnGrid(text))
+            idx.append(i)
+        except Exception:  # poison row → no boxes, not a dead task
+            pass
+    return out, grids, idx
 
 
 # ---------------------------------------------------------------------------
@@ -210,24 +237,27 @@ class SparkOcrEngine:
 
         @F.pandas_udf(ArrayType(BOX_STRUCT))
         def detect_udf(s: pd.Series) -> pd.Series:
-            out = []
-            for text in s:
-                text = _clean_text(text)
-                if text is None:
-                    out.append([])
-                    continue
-                try:
-                    grid = TurnGrid(text)
-                    rows = []
-                    for b in find_text_boxes(grid, cfg):
-                        start, end = box_span(grid, b)
-                        rows.append(
-                            {"left": b.left, "top": b.top, "width": b.width,
-                             "height": b.height, "start": start, "end": end}
-                        )
-                    out.append(rows)
-                except Exception:  # poison row → no boxes, not a dead task
-                    out.append([])
+            def to_rows(grid, boxes):
+                rows = []
+                for b in boxes:
+                    start, end = box_span(grid, b)
+                    rows.append(
+                        {"left": b.left, "top": b.top, "width": b.width,
+                         "height": b.height, "start": start, "end": end}
+                    )
+                return rows
+
+            out, grids, idx = _batched_grids(s)
+            try:
+                all_boxes = find_text_boxes_batch(grids, cfg)
+                for i, grid, boxes in zip(idx, grids, all_boxes):
+                    out[i] = to_rows(grid, boxes)
+            except Exception:  # poison batch → per-row containment
+                for i, grid in zip(idx, grids):
+                    try:
+                        out[i] = to_rows(grid, find_text_boxes(grid, cfg))
+                    except Exception:
+                        out[i] = []
             return pd.Series(out)
 
         return df.withColumn("boxes", detect_udf(F.col(text_col)))
@@ -240,19 +270,18 @@ class SparkOcrEngine:
 
         @F.pandas_udf(ArrayType(StringType()))
         def crops_udf(s: pd.Series) -> pd.Series:
-            out = []
-            for text in s:
-                text = _clean_text(text)
-                if text is None:
-                    out.append([])
-                    continue
-                try:
-                    grid = TurnGrid(text)
-                    out.append(
-                        [crop_box(grid, b)[0] for b in find_text_boxes(grid, cfg)]
-                    )
-                except Exception:  # poison row → no crops, not a dead task
-                    out.append([])
+            out, grids, idx = _batched_grids(s)
+            try:
+                all_boxes = find_text_boxes_batch(grids, cfg)
+                for i, grid, boxes in zip(idx, grids, all_boxes):
+                    out[i] = [crop_box(grid, b)[0] for b in boxes]
+            except Exception:  # poison batch → per-row containment
+                for i, grid in zip(idx, grids):
+                    try:
+                        out[i] = [crop_box(grid, b)[0]
+                                  for b in find_text_boxes(grid, cfg)]
+                    except Exception:
+                        out[i] = []
             return pd.Series(out)
 
         return df.withColumn("crops", crops_udf(F.col(text_col)))

@@ -277,3 +277,31 @@ def test_commented_out_script_opener_does_not_mask_to_eof():
 
     r = extract_turn(text, FLAGSHIP_CONFIG)
     assert "Visible paragraph of real content" in r.full_text
+
+
+def test_find_text_boxes_batch_matches_per_grid():
+    """The batched detector (one diff/searchsorted pass over many
+    grids) must return EXACTLY find_text_boxes' boxes for every grid —
+    including single-line rows (the fast path's documented equivalence
+    with the general path), markup, ANSI, form-feed docs, boiler lines,
+    and empty/whitespace rows."""
+    from sparkocr.config import DEFAULT_CONFIG, EngineConfig
+    from sparkocr.detect import (TurnGrid, find_text_boxes,
+                                 find_text_boxes_batch)
+    from sparkocr.fixtures import turns_pandas
+
+    texts = [t for t in turns_pandas(seed=3, n_convs=10)["text"]
+             if isinstance(t, str)]
+    texts += [
+        "", "   ", "one line", "a\nb\nc", "[PAGE 1]", "=== PAGE 2 ===",
+        "<b>tag</b> line\nplain second line",
+        "page one\fpage two\fpage three",
+        "nav <a href=x>link</a> body",
+        "\x1b[31mred\x1b[0m",
+    ]
+    for cfg in (DEFAULT_CONFIG, EngineConfig(merge_boxes=False),
+                EngineConfig(rect_border_size=0)):
+        grids = [TurnGrid(t) for t in texts]
+        got = find_text_boxes_batch(grids, cfg)
+        for g, bs in zip(grids, got):
+            assert bs == find_text_boxes(g, cfg)
