@@ -12,8 +12,9 @@ merge off, merge threshold 0, max_rec_lines=None, restricted
 dictionary, min_score=1.0).
 
 Last full run (2026-08-19, 3000 batches x 64 rows, seeds 1000..3999,
-markup grammar included so stage 3 is drilled): 192,000 rows, 91.0%
-fast-path, 0 divergences.
+markup + document grammars, cycling plain/allow_formfeed/roles modes
+so stages 3 AND 4 are drilled): 192,000 rows, 92.6% fast-path, 0
+divergences.
 
 Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size]
 """
