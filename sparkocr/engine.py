@@ -298,23 +298,54 @@ class SparkOcrEngine:
 
         @F.pandas_udf(RECOGNIZED_STRUCT)
         def rec_udf(s: pd.Series) -> pd.DataFrame:
-            texts, confs, btypes = [], [], []
-            for text in s:
+            from .fastbatch import (
+                _canon_in_domain,
+                _no_surrogates,
+                decode_canons_flat,
+            )
+            from .recognize import canonicalize
+
+            n = len(s)
+            texts: list = [None] * n
+            confs: list = [None] * n
+            btypes: list = [None] * n
+            pool_idx, pool_canons = [], []
+            resid = []
+            for i, text in enumerate(s):
                 text = _clean_text(text)
                 if text is None:
-                    texts.append(None)
-                    confs.append(None)
-                    btypes.append(None)
                     continue
                 try:
-                    decoded, conf, canon = recognize_crop(text, cfg)
-                    texts.append(decoded)
-                    confs.append(conf)
-                    btypes.append(classify_block(canon))
+                    canon = canonicalize(text, cfg.max_rec_lines)
+                    # markup-bearing canons need char_scores' markup
+                    # branch; surrogate rows must produce the per-row
+                    # path's own encode failure (→ None row) — both
+                    # kinds go through recognize_crop below
+                    if _no_surrogates(canon) and _canon_in_domain(canon):
+                        pool_idx.append(i)
+                        pool_canons.append(canon)
+                        btypes[i] = classify_block(canon)
+                        continue
+                    resid.append(i)
                 except Exception:  # poison row must not kill the task
-                    texts.append(None)
-                    confs.append(None)
-                    btypes.append(None)
+                    pass
+            if pool_canons:
+                try:
+                    p_texts, p_confs = decode_canons_flat(pool_canons, cfg)
+                    for i, t, c in zip(pool_idx, p_texts, p_confs):
+                        texts[i], confs[i] = t, c
+                except Exception:  # poison pool → per-row containment
+                    resid.extend(pool_idx)
+                    for i in pool_idx:
+                        btypes[i] = None
+            for i in resid:
+                try:
+                    decoded, conf, canon = recognize_crop(
+                        _clean_text(s.iloc[i]), cfg)
+                    texts[i], confs[i] = decoded, conf
+                    btypes[i] = classify_block(canon)
+                except Exception:  # poison row must not kill the task
+                    texts[i] = confs[i] = btypes[i] = None
             return pd.DataFrame(
                 {"text": texts, "confidence": confs, "block_type": btypes}
             )

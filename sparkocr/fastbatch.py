@@ -452,7 +452,15 @@ def batch_extract_simple(
     return out
 
 
-def _decode_flat(rows, canons, metas, out, config: EngineConfig) -> None:
+def decode_canons_flat(canons, config: EngineConfig):
+    """Decode MANY already-canonicalized, in-domain crops as one flat
+    codepoint array through the shared state machine. Returns
+    ``(texts, confs)`` aligned with ``canons`` — the (text, confidence)
+    pair ``recognize_crop`` computes per crop, bit-identical (float32
+    pairwise sum over the kept scores). Callers must pre-gate each
+    canon with ``_canon_in_domain`` (the scoring below is
+    ``char_scores`` with an empty markup mask) and keep surrogate
+    input out (the UTF-32 encode would raise)."""
     k = len(canons)
     flat = "\x00".join(canons)
     cp = np.frombuffer(flat.encode("utf-32-le"), dtype=np.uint32)
@@ -483,20 +491,26 @@ def _decode_flat(rows, canons, metas, out, config: EngineConfig) -> None:
 
     # per-crop slice bounds in the kept stream (f_id ascending)
     bounds = np.searchsorted(f_id, np.arange(k + 1))
+    texts, confs = [], []
+    for j in range(k):
+        a, b = bounds[j], bounds[j + 1]
+        d_sc = f_sc[a:b]
+        texts.append(f_cp[a:b].tobytes().decode("utf-32-le"))
+        if len(d_sc) == 0:
+            confs.append(0.0)
+        else:
+            # float32 pairwise sum over the same-length slice — the
+            # exact arithmetic of recognize_crop (rec.rs:179-186)
+            confs.append(float(np.float32(d_sc.sum(dtype=np.float32))
+                               / np.float32(len(d_sc))))
+    return texts, confs
 
+
+def _decode_flat(rows, canons, metas, out, config: EngineConfig) -> None:
+    texts_all, confs_all = decode_canons_flat(canons, config)
     for i, k0, k1 in rows:
         blocks = []
         for j in range(k0, k1):
-            a, b = bounds[j], bounds[j + 1]
-            d_sc = f_sc[a:b]
-            text = f_cp[a:b].tobytes().decode("utf-32-le")
-            if len(d_sc) == 0:
-                conf = 0.0
-            else:
-                # float32 pairwise sum over the same-length slice — the
-                # exact arithmetic of recognize_crop (rec.rs:179-186)
-                conf = float(np.float32(d_sc.sum(dtype=np.float32))
-                             / np.float32(len(d_sc)))
             meta = metas[j]
             box, start, end = meta[0], meta[1], meta[2]
             # 4-element metas (stage 4) carry the block type — the
@@ -504,7 +518,7 @@ def _decode_flat(rows, canons, metas, out, config: EngineConfig) -> None:
             # of deriving it from the crop text
             btype = meta[3] if len(meta) > 3 else classify_block(canons[j])
             blocks.append(Block(
-                pos=j - k0, text=text, confidence=conf,
+                pos=j - k0, text=texts_all[j], confidence=confs_all[j],
                 block_type=btype,
                 left=box.left, top=box.top,
                 width=box.width, height=box.height,

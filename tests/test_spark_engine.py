@@ -114,6 +114,29 @@ def test_recognize_verb(engine, spark):
     assert (None, None) in got
 
 
+def test_recognize_verb_matches_per_row_oracle(engine, spark):
+    """The pooled-decode recognize verb must be bit-identical to
+    recognize_crop per row — markup-bearing rows (which need the
+    markup scoring branch and fall back inside the UDF), entities,
+    multi-line, CJK, empty, and plain rows alike."""
+    from sparkocr.recognize import classify_block, recognize_crop
+
+    texts = [t for t in turns_pandas(seed=5, n_convs=4)["text"]
+             if isinstance(t, str)][:120]
+    texts += ["", "   ", "<b>bold</b> markup row", "&lt;minted&gt;",
+              "multi\nline\ncrop here", "漢字かなカナ混在の行。!!?"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = (engine.recognize(df).select("text", "recognized.*")
+            .collect())
+    by_input = {}
+    for r in rows:
+        by_input.setdefault(r[0], (r[1], r[2], r[3]))
+    for t in texts:
+        decoded, conf, canon = recognize_crop(t, engine.config)
+        want = (decoded, conf, classify_block(canon))
+        assert by_input[t] == want, ascii(t)
+
+
 def test_explode_blocks_positional_key(engine, spark):
     df = spark.createDataFrame(turns_pandas(seed=9, n_convs=4, mean_turns=6))
     out = engine.extract(df)
