@@ -98,6 +98,60 @@ def _clean_text(v) -> Optional[str]:
     return v
 
 
+def _recognize_batch(raw_texts, cfg):
+    """Kernel of the RecognizeText verb, module-level so the surrogate
+    and poison-pool fallback paths are directly testable. In-domain
+    rows (markup-free canon, no surrogates) pool into one flat decode;
+    everything else goes through recognize_crop per row — markup canons
+    for the markup scoring branch, surrogate rows so the per-row
+    UTF-32 encode failure yields the same all-None row the old loop
+    produced. Returns (texts, confs, btypes) aligned with input."""
+    from .fastbatch import (
+        _canon_in_domain,
+        _no_surrogates,
+        decode_canons_flat,
+    )
+    from .recognize import canonicalize
+
+    n = len(raw_texts)
+    texts: list = [None] * n
+    confs: list = [None] * n
+    btypes: list = [None] * n
+    pool_idx, pool_canons = [], []
+    resid = []  # (row index, cleaned text)
+    for i, text in enumerate(raw_texts):
+        text = _clean_text(text)
+        if text is None:
+            continue
+        try:
+            canon = canonicalize(text, cfg.max_rec_lines)
+            if _no_surrogates(canon) and _canon_in_domain(canon):
+                pool_idx.append(i)
+                pool_canons.append(canon)
+                btypes[i] = classify_block(canon)
+                continue
+            resid.append((i, text))
+        except Exception:  # poison row must not kill the task
+            pass
+    if pool_canons:
+        try:
+            p_texts, p_confs = decode_canons_flat(pool_canons, cfg)
+            for i, t, c in zip(pool_idx, p_texts, p_confs):
+                texts[i], confs[i] = t, c
+        except Exception:  # poison pool → per-row containment
+            resid.extend((i, _clean_text(raw_texts[i])) for i in pool_idx)
+            for i in pool_idx:
+                btypes[i] = None
+    for i, text in resid:
+        try:
+            decoded, conf, canon = recognize_crop(text, cfg)
+            texts[i], confs[i] = decoded, conf
+            btypes[i] = classify_block(canon)
+        except Exception:  # poison row must not kill the task
+            texts[i] = confs[i] = btypes[i] = None
+    return texts, confs, btypes
+
+
 def _batched_grids(s):
     """Shared prep for the detection-only verbs: clean every row, build
     a TurnGrid per valid row (per-row try — a surrogate-bearing row
@@ -298,54 +352,7 @@ class SparkOcrEngine:
 
         @F.pandas_udf(RECOGNIZED_STRUCT)
         def rec_udf(s: pd.Series) -> pd.DataFrame:
-            from .fastbatch import (
-                _canon_in_domain,
-                _no_surrogates,
-                decode_canons_flat,
-            )
-            from .recognize import canonicalize
-
-            n = len(s)
-            texts: list = [None] * n
-            confs: list = [None] * n
-            btypes: list = [None] * n
-            pool_idx, pool_canons = [], []
-            resid = []
-            for i, text in enumerate(s):
-                text = _clean_text(text)
-                if text is None:
-                    continue
-                try:
-                    canon = canonicalize(text, cfg.max_rec_lines)
-                    # markup-bearing canons need char_scores' markup
-                    # branch; surrogate rows must produce the per-row
-                    # path's own encode failure (→ None row) — both
-                    # kinds go through recognize_crop below
-                    if _no_surrogates(canon) and _canon_in_domain(canon):
-                        pool_idx.append(i)
-                        pool_canons.append(canon)
-                        btypes[i] = classify_block(canon)
-                        continue
-                    resid.append(i)
-                except Exception:  # poison row must not kill the task
-                    pass
-            if pool_canons:
-                try:
-                    p_texts, p_confs = decode_canons_flat(pool_canons, cfg)
-                    for i, t, c in zip(pool_idx, p_texts, p_confs):
-                        texts[i], confs[i] = t, c
-                except Exception:  # poison pool → per-row containment
-                    resid.extend(pool_idx)
-                    for i in pool_idx:
-                        btypes[i] = None
-            for i in resid:
-                try:
-                    decoded, conf, canon = recognize_crop(
-                        _clean_text(s.iloc[i]), cfg)
-                    texts[i], confs[i] = decoded, conf
-                    btypes[i] = classify_block(canon)
-                except Exception:  # poison row must not kill the task
-                    texts[i] = confs[i] = btypes[i] = None
+            texts, confs, btypes = _recognize_batch(list(s), cfg)
             return pd.DataFrame(
                 {"text": texts, "confidence": confs, "block_type": btypes}
             )

@@ -137,6 +137,36 @@ def test_recognize_verb_matches_per_row_oracle(engine, spark):
         assert by_input[t] == want, ascii(t)
 
 
+def test_recognize_kernel_surrogate_and_poison_paths(monkeypatch):
+    """The testable kernel behind the recognize verb: a lone-surrogate
+    row must become an all-None row (the per-row UTF-32 encode failure,
+    same as the old loop), and a failing pooled decode must fall back
+    per-row with btypes re-derived — not leave half-written state."""
+    from sparkocr import engine as eng_mod
+    from sparkocr.config import FLAGSHIP_CONFIG
+    from sparkocr.recognize import recognize_crop
+
+    rows = ["plain text row", "\ud800 lone surrogate", None,
+            "<b>markup</b> row", "second plain row!!"]
+    texts, confs, btypes = eng_mod._recognize_batch(rows, FLAGSHIP_CONFIG)
+    assert texts[1] is None and confs[1] is None and btypes[1] is None
+    assert texts[2] is None
+    assert texts[0] == recognize_crop("plain text row", FLAGSHIP_CONFIG)[0]
+    assert texts[3] == recognize_crop("<b>markup</b> row",
+                                      FLAGSHIP_CONFIG)[0]
+
+    # poison pool: force decode_canons_flat to blow up — every pooled
+    # row must re-derive per-row, bit-identical to recognize_crop
+    import sparkocr.fastbatch as fb
+
+    def boom(canons, cfg):
+        raise RuntimeError("forced pool failure")
+
+    monkeypatch.setattr(fb, "decode_canons_flat", boom)
+    texts2, confs2, btypes2 = eng_mod._recognize_batch(rows, FLAGSHIP_CONFIG)
+    assert (texts2, confs2, btypes2) == (texts, confs, btypes)
+
+
 def test_explode_blocks_positional_key(engine, spark):
     df = spark.createDataFrame(turns_pandas(seed=9, n_convs=4, mean_turns=6))
     out = engine.extract(df)
