@@ -167,21 +167,23 @@ def decode(
             e_cp, e_sc, e_punct,
             seg_ids[keep_f] if seg_ids is not None else None)
 
-    state_idx = np.flatnonzero(cls != 2)
-    if state_idx.size:
-        k = np.searchsorted(state_idx, np.arange(n), side="left") - 1
-        has_prev = k >= 0
-        prev = state_idx[np.maximum(k, 0)]
-        dup = (
-            high & ~punct & has_prev
-            & (cls[prev] == 1) & (cp[prev] == cp)
-        )
-        if seg_ids is not None:
-            dup &= seg_ids[np.maximum(prev, 0)] == seg_ids
-    else:
-        # every position BORDERLINE (possible under custom thresholds):
-        # no state-changing position exists, so nothing is a repeat
-        dup = np.zeros(n, dtype=bool)
+    # previous state-changing position (the last index < i with cls != 2)
+    # via one running-max pass; positions with no predecessor read -1.
+    # When every position is BORDERLINE (possible under custom
+    # thresholds) prev stays -1 everywhere and nothing is a repeat.
+    state_pos = np.where(cls != 2, np.arange(n, dtype=np.int64),
+                         np.int64(-1))
+    prev = np.empty(n, dtype=np.int64)
+    prev[0] = -1
+    np.maximum.accumulate(state_pos[:-1], out=prev[1:])
+    has_prev = prev >= 0
+    prev_safe = np.maximum(prev, 0)
+    dup = (
+        high & ~punct & has_prev
+        & (cls[prev_safe] == 1) & (cp[prev_safe] == cp)
+    )
+    if seg_ids is not None:
+        dup &= seg_ids[prev_safe] == seg_ids
     emit = (high & ~dup) | borderline
 
     return _punct_collapse(
