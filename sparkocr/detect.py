@@ -330,6 +330,11 @@ def merge_overlapping_boxes(boxes: list[Box], threshold: int) -> list[Box]:
     """Iterative transitive merge, verbatim algorithm from det.rs:388-424
     (pop head, absorb every overlapping box, re-queue at the FRONT when
     anything merged so A∪B can still absorb C)."""
+    if len(boxes) <= 1:
+        # nothing can overlap; the loop below would return list(boxes)
+        # after one pop/append — ~1.3 boxes/turn on transcript corpora
+        # makes this the dominant call shape
+        return list(boxes)
     result: list[Box] = []
     queue = list(boxes)
     while queue:

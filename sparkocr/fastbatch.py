@@ -468,7 +468,7 @@ def decode_canons_flat(canons, config: EngineConfig):
     # id, harmless — they are blanks and never emitted
     lens = np.fromiter((len(c) for c in canons), dtype=np.int64, count=k)
     seg = lens + 1  # each crop + its trailing separator (last has none)
-    ids = np.repeat(np.arange(k, dtype=np.int64), seg)[:len(cp)]
+    ids = np.repeat(np.arange(k, dtype=np.int32), seg)[:len(cp)]
 
     # char_scores for the markup-free case (textgrid.char_scores with
     # mk all-false): word/space/nl → SCORE_WORD, punct → SCORE_PUNCT,
@@ -487,7 +487,8 @@ def decode_canons_flat(canons, config: EngineConfig):
     # decode the WHOLE flat array in one call of the shared machine
     # (recognize.decode with seg_ids — the single home of the decode
     # semantics; this module owns only the scoring and the reassembly)
-    f_cp, f_sc, f_id = decode(cp, scores, blank, config, seg_ids=ids)
+    f_cp, f_sc, f_id = decode(cp, scores, blank, config, seg_ids=ids,
+                              punct=punct)
 
     # per-crop slice bounds in the kept stream (f_id ascending)
     bounds = np.searchsorted(f_id, np.arange(k + 1))

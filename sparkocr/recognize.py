@@ -100,6 +100,7 @@ def decode(
     blank: np.ndarray,
     config: EngineConfig = DEFAULT_CONFIG,
     seg_ids: np.ndarray | None = None,
+    punct: np.ndarray | None = None,
 ):
     """R3+R4+R5 greedy decode. Returns (codepoints, scores) of the kept
     characters, in order. Semantics verbatim from rec.rs:344-398:
@@ -122,6 +123,10 @@ def decode(
     separator-less segmented input too), and the return grows a third
     element: the kept characters' segment ids. This is THE single home
     of the decode state machine; fastbatch owns no copy of it.
+
+    ``punct`` (optional) lets a caller that already computed
+    ``punct_mask(cp)`` pass it in instead of paying the LUT pass twice;
+    it must be exactly ``punct_mask(cp)`` for the same ``cp``.
     """
     n = len(cp)
     if n == 0:
@@ -131,7 +136,8 @@ def decode(
         # only land inside the keys table, rec.rs:16; an unrecognizable
         # glyph yields blank): emit nothing AND reset last_char
         blank = blank | ~_in_vocab(cp, config.dictionary)
-    punct = punct_mask(cp)
+    if punct is None:
+        punct = punct_mask(cp)
     thr = np.where(punct, np.float32(config.punct_min_score),
                    np.float32(config.min_score))
     high = (scores > thr) & ~blank
@@ -171,9 +177,9 @@ def decode(
     # via one running-max pass; positions with no predecessor read -1.
     # When every position is BORDERLINE (possible under custom
     # thresholds) prev stays -1 everywhere and nothing is a repeat.
-    state_pos = np.where(cls != 2, np.arange(n, dtype=np.int64),
-                         np.int64(-1))
-    prev = np.empty(n, dtype=np.int64)
+    state_pos = np.where(cls != 2, np.arange(n, dtype=np.int32),
+                         np.int32(-1))
+    prev = np.empty(n, dtype=np.int32)
     prev[0] = -1
     np.maximum.accumulate(state_pos[:-1], out=prev[1:])
     has_prev = prev >= 0
