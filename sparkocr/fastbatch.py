@@ -492,11 +492,14 @@ def decode_canons_flat(canons, config: EngineConfig):
 
     # per-crop slice bounds in the kept stream (f_id ascending)
     bounds = np.searchsorted(f_id, np.arange(k + 1))
+    # decode the kept stream ONCE; per-crop text is then a plain string
+    # slice (UTF-32 is fixed-width, so codepoint index == char index)
+    full = f_cp.tobytes().decode("utf-32-le")
     texts, confs = [], []
     for j in range(k):
-        a, b = bounds[j], bounds[j + 1]
+        a, b = int(bounds[j]), int(bounds[j + 1])
         d_sc = f_sc[a:b]
-        texts.append(f_cp[a:b].tobytes().decode("utf-32-le"))
+        texts.append(full[a:b])
         if len(d_sc) == 0:
             confs.append(0.0)
         else:
