@@ -206,10 +206,13 @@ def find_text_boxes_batch(
     """``find_text_boxes`` over MANY grids with the per-ON-line segment
     loop (the measured hot spot on multi-line/markup input — three
     ``flatnonzero`` calls per line) replaced by ONE diff/searchsorted
-    pass over all grids' concatenated character arrays. Semantics are
-    the general path verbatim — ``line_scores`` and
-    ``merge_overlapping_boxes`` are called per grid, and the run
-    arithmetic mirrors the per-line code exactly:
+    pass over all grids' concatenated character arrays, and the
+    per-grid ``line_scores`` call replaced by ONE global per-line
+    bincount/divide pass over the same concatenation (value-identical:
+    the general density formula subsumes line_scores' no-markup fast
+    path, and the boiler-line tail runs per line verbatim). Semantics
+    are the general path exactly — ``merge_overlapping_boxes`` is still
+    called per grid, and the run arithmetic mirrors the per-line code:
 
     - ok = not markup, not newline, line score > THRESHOLD; a one-slot
       False gap between grids keeps runs from bridging grids (newlines
@@ -228,32 +231,71 @@ def find_text_boxes_batch(
     special-cased: the general path computes the identical box for that
     shape (the equivalence the fast path's own comment documents)."""
     border = config.rect_border_size
-    prepped: list[tuple[int, TurnGrid]] = []  # (grid index, grid)
     boxes_out: list[list[Box]] = [[] for _ in grids]
-    ok_parts: list[np.ndarray] = []
-    vis_parts: list[np.ndarray] = []
-    gap_b = np.zeros(1, dtype=bool)
-    for gi, grid in enumerate(grids):
-        cp = grid.cp
-        nl = cp == 10
-        line_id = np.cumsum(nl) - nl
-        sc = line_scores(grid, line_ids=line_id)
-        on = sc > THRESHOLD
-        if not on.any():
-            continue
-        ok = ~grid.mk & ~nl & on[line_id]
-        vis = ok & (cp != 0x20) & (cp != 0x09)
-        prepped.append((gi, grid))
-        ok_parts.append(ok)
-        ok_parts.append(gap_b)
-        vis_parts.append(vis)
-        vis_parts.append(gap_b)
-    if not prepped:
+    if not grids:
         return boxes_out
-    ok_all = np.concatenate(ok_parts)
-    vis_all = np.concatenate(vis_parts)
-    sizes = np.fromiter((len(p[1].cp) + 1 for p in prepped),
-                        dtype=np.int64, count=len(prepped))
+    # Global character arrays: every grid contributes its chars plus ONE
+    # gap slot marked as a newline, so line segmentation ("newline
+    # belongs to the line it ends") closes each grid's final line and
+    # run detection cannot bridge grids. Line SCORING then runs once
+    # over the concatenation — per-line bincounts/divides replace a
+    # line_scores call per grid (the measured per-grid overhead on
+    # short transcript turns). The per-grid fast path of line_scores
+    # (no markup, no anchors → int 255/0) needs no global analog: the
+    # general float formula with n_markup = n_anchor = 0 yields the
+    # identical scores (line_scores' own fast-path comment), so one
+    # formula covers every grid.
+    gap_cp = np.full(1, 10, dtype=np.uint32)
+    gap_b = np.zeros(1, dtype=bool)
+    cp_parts: list[np.ndarray] = []
+    mk_parts: list[np.ndarray] = []
+    an_parts: list[np.ndarray] = []
+    for grid in grids:
+        cp_parts.append(grid.cp)
+        cp_parts.append(gap_cp)
+        mk_parts.append(grid.mk)
+        mk_parts.append(gap_b)
+        an_parts.append(anchor_mask(grid.text, grid.opq))
+        an_parts.append(gap_b)
+    cp_all = np.concatenate(cp_parts)
+    mk_all = np.concatenate(mk_parts)
+    an_all = np.concatenate(an_parts)
+    nl = cp_all == 10
+    line_id = np.cumsum(nl) - nl
+    ws = (cp_all == 9) | (cp_all == 32) | nl
+    vis_ns = ~mk_all & ~ws
+    n_lines_total = sum(len(g.lines) for g in grids)
+    n_text = np.bincount(line_id[vis_ns],
+                         minlength=n_lines_total).astype(np.float64)
+    n_markup = np.bincount(line_id[mk_all],
+                           minlength=n_lines_total).astype(np.float64)
+    n_anchor = np.bincount(line_id[an_all & vis_ns],
+                           minlength=n_lines_total).astype(np.float64)
+    text_density = np.divide(
+        n_text, n_text + MARKUP_WEIGHT * n_markup,
+        out=np.zeros(n_lines_total), where=n_text > 0,
+    )
+    link_density = np.divide(
+        n_anchor, np.maximum(n_text, 1.0),
+        out=np.zeros(n_lines_total), where=n_text > 0,
+    )
+    score = np.minimum(
+        text_density * (1.0 - link_density) * 255.0, 255.0
+    ).astype(np.int64)
+    # boiler-line zeroing, per line — the exact line_scores tail, with
+    # its exact substring fast gate
+    line_base = 0
+    for grid in grids:
+        sc = score[line_base:line_base + len(grid.lines)]
+        for y, ln in enumerate(grid.lines):
+            if sc[y] > 0 and ("[" in ln or "=" in ln) and is_boiler_line(ln):
+                sc[y] = 0
+        line_base += len(grid.lines)
+    on_line = score > THRESHOLD
+    ok_all = ~mk_all & ~nl & on_line[line_id]
+    vis_all = ok_all & (cp_all != 0x20) & (cp_all != 0x09)
+    sizes = np.fromiter((len(g.cp) + 1 for g in grids),
+                        dtype=np.int64, count=len(grids))
     bases = np.concatenate(([0], np.cumsum(sizes)[:-1]))
 
     d = np.diff(ok_all.astype(np.int8), prepend=np.int8(0),
@@ -278,7 +320,9 @@ def find_text_boxes_batch(
 
     r = 0
     n_runs = len(starts)
-    for k, (gi, grid) in enumerate(prepped):
+    for k, grid in enumerate(grids):
+        if r >= n_runs or g_of[r] != k:
+            continue  # no runs: boxes_out[k] stays [] (merge of [] is [])
         boxes: list[Box] = []
         base = bases[k]
         offs = grid.line_offsets
@@ -299,7 +343,7 @@ def find_text_boxes_batch(
             r += 1
         if config.merge_boxes:
             boxes = merge_overlapping_boxes(boxes, config.merge_threshold)
-        boxes_out[gi] = boxes
+        boxes_out[k] = boxes
     return boxes_out
 
 
