@@ -101,7 +101,15 @@ def line_scores(grid: TurnGrid, line_ids: np.ndarray | None = None) -> np.ndarra
         return np.zeros(n_lines, dtype=np.int64)
     nl = cp == 10
     # newline char belongs to the line it ends
-    line_id = np.cumsum(nl) - nl if line_ids is None else line_ids
+    # dtype=int64 keeps the accumulate single-dtype: numpy's buffered
+    # bool→int64 cast INSIDE add.accumulate collapses under memory-bus
+    # pressure (measured on this box's degraded-capacity state, 16M
+    # elements: 45-700 ns/el vs a flat 5-7 ns/el for the same-dtype
+    # loop; the two are equal when the box is healthy). Explicit dtype
+    # makes the cost state-independent — on a 32-thread executor node
+    # the bus pressure is the NORMAL state.
+    line_id = (np.cumsum(nl, dtype=np.int64) - nl
+               if line_ids is None else line_ids)
     ws = (cp == 9) | (cp == 32) | nl
     vis_ns = ~mk & ~ws
     an = anchor_mask(grid.text, grid.opq)
@@ -261,7 +269,11 @@ def find_text_boxes_batch(
     mk_all = np.concatenate(mk_parts)
     an_all = np.concatenate(an_parts)
     nl = cp_all == 10
-    line_id = np.cumsum(nl) - nl
+    # explicit dtype: see line_scores — a bool-input accumulate pays a
+    # buffered per-element cast that collapses under memory-bus
+    # pressure (13.9 s of a 26.5 s profile on a 39k-grid batch in the
+    # box's degraded state; equal-cost when healthy)
+    line_id = np.cumsum(nl, dtype=np.int64) - nl
     ws = (cp_all == 9) | (cp_all == 32) | nl
     vis_ns = ~mk_all & ~ws
     n_lines_total = sum(len(g.lines) for g in grids)
