@@ -17,7 +17,6 @@ are background, not image), so crops never contain cut-open tags.
 
 from __future__ import annotations
 
-from bisect import bisect_right as _bisect_right
 from dataclasses import dataclass
 
 import numpy as np
@@ -330,32 +329,41 @@ def find_text_boxes_batch(
     left_g = np.maximum(c0 - border, starts)
     right_g = np.minimum(c1 + border, ends - 1)
 
-    r = 0
-    n_runs = len(starts)
-    for k, grid in enumerate(grids):
-        if r >= n_runs or g_of[r] != k:
-            continue  # no runs: boxes_out[k] stays [] (merge of [] is [])
-        boxes: list[Box] = []
-        base = bases[k]
-        offs = grid.line_offsets
-        last = len(grid.lines) - 1
-        while r < n_runs and g_of[r] == k:
-            p0 = int(c0[r] - base)
-            # runs never cross lines: the line of the first visible
-            # char is the run's line
-            y = min(_bisect_right(offs, p0) - 1, last)
-            ls = offs[y]
-            top = max(y * LINE_HEIGHT + GLYPH_TOP - border, 0)
-            bottom = min(y * LINE_HEIGHT + GLYPH_BOTTOM + border,
-                         grid.grid_h - 1)
-            left = int(left_g[r] - base) - ls
-            right = int(right_g[r] - base) - ls
-            boxes.append(Box(left, top, right - left + 1,
-                             bottom - top + 1))
-            r += 1
-        if config.merge_boxes:
-            boxes = merge_overlapping_boxes(boxes, config.merge_threshold)
-        boxes_out[k] = boxes
+    if not len(starts):
+        return boxes_out  # no runs anywhere: every grid stays []
+    # Per-run geometry, vectorized (this was a per-run Python loop with
+    # a bisect and a Box construction per run — 240k Box.__init__ on a
+    # 40k-grid batch). Runs never cross lines, so the global line index
+    # of a run's first visible char supplies both the grid-local line
+    # (minus the grid's first line) and the line's global text start
+    # (global line starts = 0 plus every newline position + 1 — gap
+    # slots included, consistent with line_id's numbering). The
+    # original's ``min(bisect-1, last)`` clamp needs no analog: c0 is a
+    # visible char inside its grid, so its line is always in range.
+    line_starts = np.concatenate(([0], np.flatnonzero(nl) + 1))
+    lines_per_grid = np.fromiter((len(g.lines) for g in grids),
+                                 dtype=np.int64, count=len(grids))
+    grid_line_base = np.concatenate(([0], np.cumsum(lines_per_grid)[:-1]))
+    y_glob = line_id[c0]
+    y = y_glob - grid_line_base[g_of]          # grid-local line of run
+    ls = line_starts[y_glob]                   # global offset of line
+    tops = np.maximum(y * LINE_HEIGHT + GLYPH_TOP - border, 0)
+    bottoms = np.minimum(y * LINE_HEIGHT + GLYPH_BOTTOM + border,
+                         lines_per_grid[g_of] * LINE_HEIGHT - 1)
+    l_l = (left_g - ls).tolist()               # grid-coord left/right:
+    r_l = (right_g - ls).tolist()              # (pos - base) - (ls - base)
+    t_l = tops.tolist()
+    b_l = bottoms.tolist()
+    grid_ids = np.arange(len(grids))
+    run_lo = np.searchsorted(g_of, grid_ids, side="left")
+    run_hi = np.searchsorted(g_of, grid_ids, side="right")
+    for k in np.flatnonzero(run_hi > run_lo).tolist():
+        a, b = int(run_lo[k]), int(run_hi[k])
+        items = list(zip(l_l[a:b], t_l[a:b], r_l[a:b], b_l[a:b]))
+        if config.merge_boxes and len(items) > 1:
+            items = _merge_ltrb(items, config.merge_threshold)
+        boxes_out[k] = [Box(l, t, r - l + 1, bb - t + 1)
+                        for (l, t, r, bb) in items]
     return boxes_out
 
 
@@ -382,32 +390,65 @@ def merge_boxes(a: Box, b: Box) -> Box:
     return Box(left, top, right - left + 1, bottom - top + 1)
 
 
-def merge_overlapping_boxes(boxes: list[Box], threshold: int) -> list[Box]:
-    """Iterative transitive merge, verbatim algorithm from det.rs:388-424
-    (pop head, absorb every overlapping box, re-queue at the FRONT when
-    anything merged so A∪B can still absorb C)."""
-    if len(boxes) <= 1:
-        # nothing can overlap; the loop below would return list(boxes)
-        # after one pop/append — ~1.3 boxes/turn on transcript corpora
-        # makes this the dominant call shape
-        return list(boxes)
-    result: list[Box] = []
-    queue = list(boxes)
+def _merge_ltrb(queue: list[tuple], threshold: int) -> list[tuple]:
+    """The transitive-merge fixpoint on plain ``(left, top, right,
+    bottom)`` int tuples — the exact det.rs:388-424 algorithm (pop head,
+    absorb every overlapping box, re-queue at the FRONT when anything
+    merged so A∪B can still absorb C) with the overlap predicate
+    (det.rs:429-464) and union (det.rs:469-486) inlined. Tuples instead
+    of ``Box`` because the fixpoint is the one per-turn Python loop the
+    batch path keeps: ``Box.right``/``Box.bottom`` property calls and
+    frozen-dataclass construction dominated its profile (~1M property
+    calls per 40k-turn batch)."""
+    result: list[tuple] = []
     while queue:
-        merged = queue.pop(0)
+        ml, mt, mr, mb = queue.pop(0)
         merged_any = False
         i = 0
         while i < len(queue):
-            if boxes_overlap_with_threshold(merged, queue[i], threshold):
-                merged = merge_boxes(merged, queue.pop(i))
-                merged_any = True
-            else:
-                i += 1
+            l, t, r, b = queue[i]
+            # horizontal overlap within ±threshold (both boxes expanded)
+            if mr + threshold >= l - threshold \
+                    and r + threshold >= ml - threshold:
+                # vertical closeness within 40% of the smaller height
+                vt = int(min(mb - mt + 1, b - t + 1) * VERTICAL_CLOSENESS)
+                if (mb + vt >= t) if mt <= t else (b + vt >= mt):
+                    if l < ml:
+                        ml = l
+                    if t < mt:
+                        mt = t
+                    if r > mr:
+                        mr = r
+                    if b > mb:
+                        mb = b
+                    queue.pop(i)
+                    merged_any = True
+                    continue
+            i += 1
         if merged_any:
-            queue.insert(0, merged)
+            queue.insert(0, (ml, mt, mr, mb))
         else:
-            result.append(merged)
+            result.append((ml, mt, mr, mb))
     return result
+
+
+def merge_overlapping_boxes(boxes: list[Box], threshold: int) -> list[Box]:
+    """Iterative transitive merge, verbatim algorithm from det.rs:388-424
+    (pop head, absorb every overlapping box, re-queue at the FRONT when
+    anything merged so A∪B can still absorb C). The fixpoint itself runs
+    on (l, t, r, b) tuples (``_merge_ltrb``); this wrapper owns the
+    Box↔tuple conversion for per-turn callers."""
+    if len(boxes) <= 1:
+        # nothing can overlap; the fixpoint would return the same list
+        # after one pop/append — ~1.3 boxes/turn on transcript corpora
+        # makes this the dominant call shape
+        return list(boxes)
+    merged = _merge_ltrb(
+        [(b.left, b.top, b.left + b.width - 1, b.top + b.height - 1)
+         for b in boxes],
+        threshold,
+    )
+    return [Box(l, t, r - l + 1, b - t + 1) for (l, t, r, b) in merged]
 
 
 def box_span(grid: TurnGrid, box: Box) -> tuple[int, int]:
