@@ -236,7 +236,37 @@ def find_text_boxes_batch(
     the per-grid function by the fastbatch and layout suites. The
     single-line fast path of ``find_text_boxes`` is intentionally NOT
     special-cased: the general path computes the identical box for that
-    shape (the equivalence the fast path's own comment documents)."""
+    shape (the equivalence the fast path's own comment documents).
+
+    Detection runs in grid-aligned blocks of ``DETECT_CHUNK`` chars —
+    grids are independent, so splitting the batch is result-identical;
+    blocking keeps the ~12 stream-sized temporaries allocator-warm and
+    cache-sized instead of paying a fresh first-touch mmap per batch
+    (the same page-fault effect measured on the flat decode — see
+    fastbatch.FLAT_DECODE_CHUNK)."""
+    total = sum(len(g.cp) for g in grids)
+    if total <= DETECT_CHUNK:
+        return _find_text_boxes_block(grids, config)
+    out: list[list[Box]] = []
+    i, k = 0, len(grids)
+    while i < k:
+        j, acc = i, 0
+        while j < k and (acc == 0 or acc + len(grids[j].cp) <= DETECT_CHUNK):
+            acc += len(grids[j].cp)
+            j += 1
+        out.extend(_find_text_boxes_block(grids[i:j], config))
+        i = j
+    return out
+
+
+DETECT_CHUNK = 1 << 18  # chars per detection block (see docstring above)
+
+
+def _find_text_boxes_block(
+    grids: list[TurnGrid], config: EngineConfig = DEFAULT_CONFIG
+) -> list[list[Box]]:
+    """One detection block: the whole-stream pass of
+    ``find_text_boxes_batch`` over a grid-aligned slice."""
     border = config.rect_border_size
     boxes_out: list[list[Box]] = [[] for _ in grids]
     if not grids:
