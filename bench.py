@@ -196,6 +196,73 @@ def _wait_for_quiet(max_wait_s: int = 120,
     return load1
 
 
+def _capacity_worker(q, n_iters: int, n_elems: int) -> None:
+    """One parallel-capacity worker: a memory-bus-bound kernel with a
+    FRESH allocation per iteration (first-touch page faults are the
+    dimension that collapses in the box's degraded state — see
+    BENCH/BASELINE.md's box-capacity caveat)."""
+    import numpy as _np  # noqa: PLC0415 — child process import
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        a = _np.ones(n_elems, dtype=_np.int64)
+        s = _np.cumsum(a)
+        assert int(s[-1]) == n_elems
+    q.put(time.perf_counter() - t0)
+
+
+def parallel_capacity_median(n_probes: int = 3) -> float | None:
+    """Median of ``n_probes`` :func:`_parallel_capacity` readings — the
+    classifier value the bench JSON carries. Single readings swing 2-3x
+    within a degraded episode (the steal is bursty below the probe
+    timescale); the median over ~15 s still separates the regimes
+    cleanly (healthy ≈ 0.6+, degraded well below 0.4)."""
+    vals = [v for v in (_parallel_capacity() for _ in range(n_probes))
+            if v is not None]
+    if not vals:
+        return None
+    return sorted(vals)[len(vals) // 2]
+
+
+def _parallel_capacity(p: int = 8, n_iters: int = 8,
+                       n_elems: int = 8_000_000) -> float | None:
+    """Classify the box's PARALLEL memory capacity: the same fixed
+    kernel timed in one process, then in ``p`` concurrent processes;
+    returns mean(t_single) / mean(t_parallel) (1.0 = the p-way run is
+    as fast per worker as the solo run). This box degrades transiently
+    in a way loadavg and single-core probes cannot see (single-core
+    flat while 32-core −37%); this ratio makes every bench artifact
+    self-classifying. Healthy reference on this box ≈ 0.65-0.9 (real
+    shared-bus cost included); the degraded state reads well below.
+    ~5 s total."""
+    import multiprocessing as mp
+    try:
+        ctx = mp.get_context("fork")
+        # solo reference: best of two runs (a single run can land on a
+        # transiently stolen core and undercount the denominator)
+        t_solo = None
+        for _ in range(2):
+            q = ctx.Queue()
+            w = ctx.Process(target=_capacity_worker,
+                            args=(q, n_iters, n_elems))
+            w.start()
+            t = q.get(timeout=120)
+            w.join()
+            t_solo = t if t_solo is None else min(t_solo, t)
+        q = ctx.Queue()
+        ws = [ctx.Process(target=_capacity_worker,
+                          args=(q, n_iters, n_elems)) for _ in range(p)]
+        for w in ws:
+            w.start()
+        times = sorted(q.get(timeout=120) for _ in ws)
+        for w in ws:
+            w.join()
+        t_par = times[len(times) // 2]  # median worker
+        return round(t_solo / t_par, 3)
+    except Exception as e:  # the probe must never sink the bench
+        _log(f"parallel-capacity probe failed: {e}")
+        return None
+
+
 def run_headline() -> tuple[dict[str, float], float]:
     import __spark_entry__ as entrymod
     from sparkocr.session import get_spark
@@ -417,6 +484,8 @@ def write_baseline_md(result: dict) -> None:
 
 def main() -> None:
     load_start = _wait_for_quiet()
+    cap_start = parallel_capacity_median()
+    _log(f"bench: parallel capacity at start {cap_start}")
     timings, total, failed = run_headline()
     result = {
         "metric": "headline query wall time (sum) + extraction scaling",
@@ -430,6 +499,10 @@ def main() -> None:
         # ended — the pinned BASELINE.md is a quiet-box (<1) reference,
         # so a loaded run is visibly non-comparable in the artifact
         "load1_at_start": load_start,
+        # 8-way vs solo throughput ratio of a fixed memory-bound kernel
+        # (see _parallel_capacity): classifies the box's transient
+        # parallel-capacity degradation that loadavg cannot see
+        "parallel_capacity_at_start": cap_start,
     }
     if failed:
         # machine-readable failure signal: "value" only sums the queries
@@ -443,6 +516,7 @@ def main() -> None:
     # captured AFTER the scaling cohort so the artifact describes the
     # whole run's box conditions, not just the headline phase
     result["load1_at_end"] = _load1()
+    result["parallel_capacity_at_end"] = parallel_capacity_median()
     try:
         write_baseline_md(result)
     except Exception as e:
