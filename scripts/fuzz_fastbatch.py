@@ -14,7 +14,10 @@ dictionary, min_score=1.0).
 Last full run (2026-08-19, 3000 batches x 64 rows, seeds 1000..3999,
 markup + document grammars, cycling plain/allow_formfeed/roles modes
 so stages 3 AND 4 are drilled): 192,000 rows, 92.6% fast-path, 0
-divergences.
+divergences. A second sweep the same day on a DISJOINT seed range
+(1500 batches x 64 rows, seeds 50000..51499) added 96,000 rows,
+92.6% fast-path, 0 divergences — 288,000 fuzzed rows total against
+the per-turn oracle at round-4 HEAD.
 
 Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size]
 """
