@@ -482,9 +482,30 @@ def write_baseline_md(result: dict) -> None:
         f.write("\n".join(lines) + "\n")
 
 
+def _wait_for_capacity(min_cap: float = 0.55,
+                       max_wait_s: int = 600) -> float | None:
+    """Second hygiene phase after :func:`_wait_for_quiet`: this box's
+    degraded parallel-capacity episodes are INVISIBLE to loadavg
+    (single-core throughput flat while 32-core walls inflate ~35% —
+    see BENCH/BASELINE.md), so also wait, bounded, for the capacity
+    probe to read healthy before timing. Re-probes every ~2 min (each
+    probe costs ~45 s itself); proceeds with a flagged reading when
+    the budget runs out — the JSON field makes the run
+    self-classifying either way."""
+    t0 = time.time()
+    cap = parallel_capacity_median()
+    while (cap is not None and cap < min_cap
+           and time.time() - t0 < max_wait_s):
+        _log(f"bench: parallel capacity {cap} < {min_cap} (degraded box "
+             f"state); waiting before timing")
+        time.sleep(120)
+        cap = parallel_capacity_median()
+    return cap
+
+
 def main() -> None:
     load_start = _wait_for_quiet()
-    cap_start = parallel_capacity_median()
+    cap_start = _wait_for_capacity()
     _log(f"bench: parallel capacity at start {cap_start}")
     timings, total, failed = run_headline()
     result = {
