@@ -483,7 +483,7 @@ def write_baseline_md(result: dict) -> None:
 
 
 def _wait_for_capacity(min_cap: float = 0.55,
-                       max_wait_s: int = 600) -> float | None:
+                       max_wait_s: int | None = None) -> float | None:
     """Second hygiene phase after :func:`_wait_for_quiet`: this box's
     degraded parallel-capacity episodes are INVISIBLE to loadavg
     (single-core throughput flat while 32-core walls inflate ~35% —
@@ -491,7 +491,12 @@ def _wait_for_capacity(min_cap: float = 0.55,
     probe to read healthy before timing. Re-probes every ~2 min (each
     probe costs ~45 s itself); proceeds with a flagged reading when
     the budget runs out — the JSON field makes the run
-    self-classifying either way."""
+    self-classifying either way. The budget is deliberately modest
+    (5 min default; ``SPARKOCR_BENCH_CAP_WAIT_S`` overrides): the
+    caller may itself run under a timeout, and a degraded-but-recorded
+    artifact beats a killed run."""
+    if max_wait_s is None:
+        max_wait_s = int(os.environ.get("SPARKOCR_BENCH_CAP_WAIT_S", "300"))
     t0 = time.time()
     cap = parallel_capacity_median()
     while (cap is not None and cap < min_cap
