@@ -517,8 +517,15 @@ def crop_box(grid: TurnGrid, box: Box) -> tuple[str, int, int]:
         if b <= a:
             parts.append("")
             continue
+        mk_win = grid.mk[off + a : off + b]
+        if not mk_win.any():
+            # nothing to blank: the crop is a plain slice of the line
+            # (cp[off+i] ≡ ln[i] by TurnGrid construction) — skip the
+            # copy/fancy-index/UTF-32 round-trip for the common shape
+            parts.append(ln[a:b])
+            continue
         seg = grid.cp[off + a : off + b].copy()
-        seg[grid.mk[off + a : off + b]] = 32
+        seg[mk_win] = 32
         parts.append(seg.tobytes().decode("utf-32-le"))
     # span arithmetic has exactly ONE home: the property suite asserts
     # box_span == crop_box offsets, and sharing the code makes that

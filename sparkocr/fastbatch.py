@@ -90,9 +90,9 @@ from .config import (
 from .detect import (
     Box,
     TurnGrid,
+    _merge_ltrb,
     crop_box,
     find_text_boxes_batch,
-    merge_overlapping_boxes,
 )
 from .pipeline import Block, TurnResult
 from .recognize import canonicalize, classify_block, decode
@@ -275,7 +275,8 @@ def _plain_multiline_crops(t: str, config: EngineConfig, border: int):
     - one segment per ON line (no markup runs to split on); trim
       {tab, space}; drop width <= MIN_BOX_SIZE; expand by border,
       clamped to the line and the grid
-    - the transitive merge is detect.merge_overlapping_boxes ITSELF
+    - the transitive merge is detect's fixpoint ITSELF (``_merge_ltrb``,
+      the tuple kernel inside ``merge_overlapping_boxes``)
     - crop text: line slices joined by \\n (nothing to blank); spans
       via the box_span arithmetic
 
@@ -287,7 +288,10 @@ def _plain_multiline_crops(t: str, config: EngineConfig, border: int):
     folded = t.replace("\r\n", " \n").replace("\r", "\n")
     lines = folded.split("\n")
     grid_h = len(lines) * LINE_HEIGHT
-    boxes: list[Box] = []
+    # (left, top, right, bottom) tuples end-to-end: the merge fixpoint
+    # runs on ltrb tuples anyway (detect._merge_ltrb), so building Box
+    # objects before the merge just paid a conversion both ways
+    ltrb: list[tuple] = []
     for y, ln in enumerate(lines):
         c0 = len(ln) - len(ln.lstrip(" \t"))
         if c0 == len(ln):  # empty or all-whitespace: score 0
@@ -301,11 +305,12 @@ def _plain_multiline_crops(t: str, config: EngineConfig, border: int):
         right = min(c1 + border, len(ln) - 1)
         top = max(y * LINE_HEIGHT + GLYPH_TOP - border, 0)
         bottom = min(y * LINE_HEIGHT + GLYPH_BOTTOM + border, grid_h - 1)
-        boxes.append(Box(left, top, right - left + 1, bottom - top + 1))
-    if config.merge_boxes:
-        boxes = merge_overlapping_boxes(boxes, config.merge_threshold)
-    if not boxes:
+        ltrb.append((left, top, right, bottom))
+    if config.merge_boxes and len(ltrb) > 1:
+        ltrb = _merge_ltrb(ltrb, config.merge_threshold)
+    if not ltrb:
         return [], []
+    boxes = [Box(l, tp, r - l + 1, b - tp + 1) for (l, tp, r, b) in ltrb]
     offs, pos = [], 0
     for ln in lines:
         offs.append(pos)

@@ -265,6 +265,19 @@ def classify_block(canon_text: str) -> str:
     pipes, else prose; no visible lines → empty."""
     if "```" in canon_text:
         return "code"
+    if "\n" not in canon_text:
+        # single-line fast path — the dominant call shape in the flat
+        # decode pool (one crop ≈ one line); same rules, n = 1, without
+        # the split/filter/three-generator scan
+        if not canon_text.strip():
+            return "empty"
+        if canon_text.startswith("    "):
+            return "code"
+        if _LIST_RE.match(canon_text):
+            return "list"
+        if canon_text.count("|") >= 2:
+            return "table"
+        return "prose"
     lines = [l for l in canon_text.split("\n") if l.strip()]
     if not lines:
         return "empty"
