@@ -323,15 +323,27 @@ def _find_text_boxes_block(
     score = np.minimum(
         text_density * (1.0 - link_density) * 255.0, 255.0
     ).astype(np.int64)
-    # boiler-line zeroing, per line — the exact line_scores tail, with
-    # its exact substring fast gate
-    line_base = 0
-    for grid in grids:
-        sc = score[line_base:line_base + len(grid.lines)]
-        for y, ln in enumerate(grid.lines):
-            if sc[y] > 0 and ("[" in ln or "=" in ln) and is_boiler_line(ln):
-                sc[y] = 0
-        line_base += len(grid.lines)
+    # boiler-line zeroing — the exact line_scores tail. The per-line
+    # Python sweep (score>0 + two substring scans per line) is replaced
+    # by its vectorized equivalent: the '['/'=' gate comes from the
+    # already-built global char stream (a bracket char is never a
+    # newline, so per-line bincount over line_id sees exactly the
+    # chars the per-line `in` scans saw), and only the surviving
+    # candidate lines run the verbatim is_boiler_line regex.
+    lines_per_grid = np.fromiter((len(g.lines) for g in grids),
+                                 dtype=np.int64, count=len(grids))
+    grid_line_base = np.concatenate(([0], np.cumsum(lines_per_grid)[:-1]))
+    bracket = (cp_all == 0x5B) | (cp_all == 0x3D)   # '[' or '='
+    has_bracket = np.bincount(line_id[bracket],
+                              minlength=n_lines_total) > 0
+    cand = np.flatnonzero((score > 0) & has_bracket)
+    if cand.size:
+        cand_g = np.searchsorted(grid_line_base, cand, side="right") - 1
+        cand_y = cand - grid_line_base[cand_g]
+        for gl, g, y in zip(cand.tolist(), cand_g.tolist(),
+                            cand_y.tolist()):
+            if is_boiler_line(grids[g].lines[y]):
+                score[gl] = 0
     on_line = score > THRESHOLD
     ok_all = ~mk_all & ~nl & on_line[line_id]
     vis_all = ok_all & (cp_all != 0x20) & (cp_all != 0x09)
@@ -371,9 +383,6 @@ def _find_text_boxes_block(
     # original's ``min(bisect-1, last)`` clamp needs no analog: c0 is a
     # visible char inside its grid, so its line is always in range.
     line_starts = np.concatenate(([0], np.flatnonzero(nl) + 1))
-    lines_per_grid = np.fromiter((len(g.lines) for g in grids),
-                                 dtype=np.int64, count=len(grids))
-    grid_line_base = np.concatenate(([0], np.cumsum(lines_per_grid)[:-1]))
     y_glob = line_id[c0]
     y = y_glob - grid_line_base[g_of]          # grid-local line of run
     ls = line_starts[y_glob]                   # global offset of line
@@ -430,6 +439,18 @@ def _merge_ltrb(queue: list[tuple], threshold: int) -> list[tuple]:
     batch path keeps: ``Box.right``/``Box.bottom`` property calls and
     frozen-dataclass construction dominated its profile (~1M property
     calls per 40k-turn batch)."""
+    if len(queue) == 2:
+        # two-box unrolling of the fixpoint (the dominant call shape):
+        # merge → one box, nothing left to absorb; no merge → both
+        # boxes in input order — exactly what the loop below produces
+        (ml, mt, mr, mb), (l, t, r, b) = queue
+        if mr + threshold >= l - threshold \
+                and r + threshold >= ml - threshold:
+            vt = int(min(mb - mt + 1, b - t + 1) * VERTICAL_CLOSENESS)
+            if (mb + vt >= t) if mt <= t else (b + vt >= mt):
+                return [(ml if ml < l else l, mt if mt < t else t,
+                         mr if mr > r else r, mb if mb > b else b)]
+        return queue
     result: list[tuple] = []
     while queue:
         ml, mt, mr, mb = queue.pop(0)

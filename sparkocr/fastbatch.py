@@ -311,10 +311,12 @@ def _plain_multiline_crops(t: str, config: EngineConfig, border: int):
     if not ltrb:
         return [], []
     boxes = [Box(l, tp, r - l + 1, b - tp + 1) for (l, tp, r, b) in ltrb]
+    lens = list(map(len, lines))
     offs, pos = [], 0
-    for ln in lines:
+    for n_ln in lens:
         offs.append(pos)
-        pos += len(ln) + 1
+        pos += n_ln + 1
+    maxlen = max(lens)
     canons: list[str] = []
     metas: list[tuple] = []
     last = len(lines) - 1
@@ -322,17 +324,25 @@ def _plain_multiline_crops(t: str, config: EngineConfig, border: int):
         y0 = min(box.top // LINE_HEIGHT, last)
         y1 = min(box.bottom // LINE_HEIGHT, last)
         b_right = box.right + 1
-        parts = []
-        for y in range(y0, y1 + 1):
-            ln = lines[y]
-            a = min(box.left, len(ln))
-            b = min(b_right, len(ln))
-            parts.append(ln[a:b] if b > a else "")
-        canon = canonicalize("\n".join(parts), config.max_rec_lines)
+        if box.left == 0 and b_right >= maxlen:
+            # full-width box (the dominant shape: unindented text whose
+            # merged box spans every covered line end-to-end): every
+            # covered line's clamp is [0, len(ln)], so the per-line
+            # slice+join IS the contiguous folded substring — one slice
+            crop = folded[offs[y0]:offs[y1] + lens[y1]]
+        else:
+            parts = []
+            for y in range(y0, y1 + 1):
+                n_ln = lens[y]
+                a = box.left if box.left < n_ln else n_ln
+                b = b_right if b_right < n_ln else n_ln
+                parts.append(lines[y][a:b] if b > a else "")
+            crop = "\n".join(parts)
+        canon = canonicalize(crop, config.max_rec_lines)
         if not _canon_in_domain(canon):
             return None
-        start = offs[y0] + min(box.left, len(lines[y0]))
-        end = offs[y1] + min(b_right, len(lines[y1]))
+        start = offs[y0] + min(box.left, lens[y0])
+        end = offs[y1] + min(b_right, lens[y1])
         canons.append(canon)
         metas.append((box, start, end))
     return canons, metas
