@@ -529,6 +529,30 @@ def crop_box(grid: TurnGrid, box: Box) -> tuple[str, int, int]:
     y0 = min(box.top // LINE_HEIGHT, len(grid.lines) - 1)
     y1 = min(box.bottom // LINE_HEIGHT, len(grid.lines) - 1)
     right = box.right
+    # span arithmetic has exactly ONE home: the property suite asserts
+    # box_span == crop_box offsets, and sharing the code makes that
+    # true by construction
+    span_start, span_end = box_span(grid, box)
+    if not grid.mk[span_start:span_end].any():
+        # markup-free span (the dominant shape — detection runs exclude
+        # markup chars, so a crop only carries markup pulled in by the
+        # border or a vertical merge): nothing to blank anywhere
+        if box.left == 0:
+            for y in range(y0, y1 + 1):
+                if right + 1 < len(grid.lines[y]):
+                    break
+            else:
+                # full-width too: every covered line's clamp is
+                # [0, len(ln)], so the per-line slice+join IS the
+                # contiguous text substring — one slice
+                return grid.text[span_start:span_end], span_start, span_end
+        parts = []
+        for y in range(y0, y1 + 1):
+            ln = grid.lines[y]
+            a = min(box.left, len(ln))
+            b = min(right + 1, len(ln))
+            parts.append(ln[a:b] if b > a else "")
+        return "\n".join(parts), span_start, span_end
     parts = []
     for y in range(y0, y1 + 1):
         ln = grid.lines[y]
@@ -548,8 +572,4 @@ def crop_box(grid: TurnGrid, box: Box) -> tuple[str, int, int]:
         seg = grid.cp[off + a : off + b].copy()
         seg[mk_win] = 32
         parts.append(seg.tobytes().decode("utf-32-le"))
-    # span arithmetic has exactly ONE home: the property suite asserts
-    # box_span == crop_box offsets, and sharing the code makes that
-    # true by construction
-    span_start, span_end = box_span(grid, box)
     return "\n".join(parts), span_start, span_end
