@@ -17,7 +17,10 @@ so stages 3 AND 4 are drilled): 192,000 rows, 92.6% fast-path, 0
 divergences. A second sweep the same day on a DISJOINT seed range
 (1500 batches x 64 rows, seeds 50000..51499) added 96,000 rows,
 92.6% fast-path, 0 divergences — 288,000 fuzzed rows total against
-the per-turn oracle at round-4 HEAD.
+the per-turn oracle at round-4 HEAD. A third disjoint sweep (seeds
+300000..301499, 96,000 rows, 0 divergences) ran after the late-round
+detector/crop fast paths (boiler-gate vectorization, two-box merge
+unroll, full-width crop slices) — 384,000 fuzzed rows total.
 
 Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size]
 """
