@@ -305,3 +305,89 @@ def test_find_text_boxes_batch_matches_per_grid():
         got = find_text_boxes_batch(grids, cfg)
         for g, bs in zip(grids, got):
             assert bs == find_text_boxes(g, cfg)
+
+
+# --- late-round-4 fast-path branches (byte-identity pins) ------------------
+
+
+def test_crop_box_fullwidth_fast_path_matches_slow_path():
+    """The full-width single-slice return of crop_box must equal the
+    per-line clamp+join on shapes that straddle the gate: trailing
+    whitespace (right+1 < len(ln) on some line), ragged line lengths,
+    markup pulled into the span by a vertical merge, and empty interior
+    lines."""
+    from sparkocr.detect import find_text_boxes
+
+    cases = [
+        "full width line one\nand a second full line",      # fast path
+        "trailing spaces here   \nsecond line",              # not full-width
+        "short\nmuch longer second line than one",           # ragged
+        "para one\n\npara two after a blank line",           # empty interior
+        "<b>lead</b> markup then text\nplain second line",   # markup in span
+        "  indented first\n    deeper second",               # left > 0
+    ]
+    for cfg in (DEFAULT_CONFIG, EngineConfig(rect_border_size=0),
+                EngineConfig(merge_boxes=False)):
+        for t in cases:
+            grid = TurnGrid(t)
+            for box in find_text_boxes(grid, cfg):
+                crop, s, e = crop_box(grid, box)
+                # reference: the original per-line clamp+join, verbatim
+                y0 = min(box.top // LINE_HEIGHT, len(grid.lines) - 1)
+                y1 = min(box.bottom // LINE_HEIGHT, len(grid.lines) - 1)
+                parts = []
+                for y in range(y0, y1 + 1):
+                    ln = grid.lines[y]
+                    off = grid.line_offsets[y]
+                    a = min(box.left, len(ln))
+                    b = min(box.right + 1, len(ln))
+                    if b <= a:
+                        parts.append("")
+                        continue
+                    seg = grid.cp[off + a: off + b].copy()
+                    seg[grid.mk[off + a: off + b]] = 32
+                    parts.append(seg.tobytes().decode("utf-32-le"))
+                assert crop == "\n".join(parts)
+
+
+def test_merge_two_box_unroll_matches_fixpoint():
+    """_merge_ltrb's two-box unroll must agree with the general fixpoint
+    on merging and non-merging pairs in both input orders."""
+    from sparkocr.detect import _merge_ltrb
+
+    pairs = [
+        [(0, 2, 10, 12), (3, 18, 12, 28)],    # vertical neighbors: merge
+        [(0, 2, 10, 12), (0, 200, 10, 210)],  # far apart: keep both
+        [(0, 2, 10, 12), (40, 2, 55, 12)],    # same line, far right: keep
+        [(0, 2, 10, 12), (11, 2, 20, 12)],    # within threshold: merge
+    ]
+    for pair in pairs:
+        for queue in (list(pair), list(reversed(pair))):
+            got = _merge_ltrb(list(queue), 1)
+            # reference: force the general path by appending a sentinel
+            # far outside any overlap, then dropping it
+            sentinel = (10_000, 10_000, 10_010, 10_010)
+            ref = _merge_ltrb(list(queue) + [sentinel], 1)
+            assert sentinel in ref
+            ref.remove(sentinel)
+            assert got == ref
+
+
+def test_batched_boiler_gate_spans_grids():
+    """Boiler zeroing in the batched detector is vectorized over the
+    global char stream; bracket-bearing boiler lines must still score
+    zero when they sit in different grids of one block (and bracket
+    lookalikes must stay on)."""
+    from sparkocr.detect import find_text_boxes, find_text_boxes_batch
+
+    texts = [
+        "[PAGE 3]\nreal content line here",
+        "=== PAGE 9 ===\nmore real content",
+        "[not boiler but bracketed] stays on",
+        "x = y + z is fine too",
+        "[HEADER] masthead\nbody line survives",
+    ]
+    grids = [TurnGrid(t) for t in texts]
+    got = find_text_boxes_batch(grids, DEFAULT_CONFIG)
+    for g, bs in zip(grids, got):
+        assert bs == find_text_boxes(g, DEFAULT_CONFIG)
