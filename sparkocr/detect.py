@@ -79,6 +79,55 @@ class TurnGrid:
         self.grid_h = len(self.lines) * LINE_HEIGHT
 
 
+def _density_scores(
+    line_id: np.ndarray,
+    vis_ns: np.ndarray,
+    mk: np.ndarray,
+    an: np.ndarray,
+    n_lines: int,
+) -> np.ndarray:
+    """THE single home of the per-line density formula (det.rs:342's
+    ``(p*255).min(255) as u8`` analog):
+
+        score = min(255, 255 * text_density * (1 - link_density))
+        text_density = n_text / (n_text + MARKUP_WEIGHT * n_markup)
+        link_density = n_anchor / max(n_text, 1)
+
+    over per-line char counts bincounted from ``line_id``. Both scorers
+    — the per-grid :func:`line_scores` and the batched
+    ``_find_text_boxes_block`` (which feeds it one concatenated
+    gap-joined stream) — call this helper, so an edit to the scoring
+    semantics lands in both by construction. ``an`` is the raw anchor
+    mask; the visible-anchor intersection happens here."""
+    n_text = np.bincount(line_id[vis_ns], minlength=n_lines).astype(np.float64)
+    n_markup = np.bincount(line_id[mk], minlength=n_lines).astype(np.float64)
+    n_anchor = np.bincount(line_id[an & vis_ns],
+                           minlength=n_lines).astype(np.float64)
+    text_density = np.divide(
+        n_text, n_text + MARKUP_WEIGHT * n_markup,
+        out=np.zeros(n_lines), where=n_text > 0,
+    )
+    link_density = np.divide(
+        n_anchor, np.maximum(n_text, 1.0),
+        out=np.zeros(n_lines), where=n_text > 0,
+    )
+    return np.minimum(
+        text_density * (1.0 - link_density) * 255.0, 255.0
+    ).astype(np.int64)
+
+
+def _zero_boiler_lines(score: np.ndarray, lines) -> np.ndarray:
+    """Boiler-line tail of the scorer: [HEADER]/[FOOTER]/[PAGE n] marker
+    lines score 0. The '['/'=' substring test is an exact fast gate —
+    every ``_BOILER_LINE_RE`` alternative requires one of the two (the
+    batched detector applies the same gate vectorized over char codes
+    0x5B/0x3D; ``tests/test_detect.py`` pins gate↔regex agreement)."""
+    for y, ln in enumerate(lines):
+        if score[y] > 0 and ("[" in ln or "=" in ln) and is_boiler_line(ln):
+            score[y] = 0
+    return score
+
+
 def line_scores(grid: TurnGrid, line_ids: np.ndarray | None = None) -> np.ndarray:
     """Per-line content score in 0..255 — the probability map.
 
@@ -121,24 +170,8 @@ def line_scores(grid: TurnGrid, line_ids: np.ndarray | None = None) -> np.ndarra
         n_text_i = np.bincount(line_id[vis_ns], minlength=n_lines)
         score = np.where(n_text_i > 0, np.int64(255), np.int64(0))
     else:
-        n_text = np.bincount(line_id[vis_ns], minlength=n_lines).astype(np.float64)
-        n_markup = np.bincount(line_id[mk], minlength=n_lines).astype(np.float64)
-        n_anchor = np.bincount(line_id[an & vis_ns], minlength=n_lines).astype(np.float64)
-
-        text_density = np.divide(
-            n_text, n_text + MARKUP_WEIGHT * n_markup,
-            out=np.zeros(n_lines), where=n_text > 0,
-        )
-        link_density = np.divide(
-            n_anchor, np.maximum(n_text, 1.0), out=np.zeros(n_lines), where=n_text > 0
-        )
-        score = np.minimum((text_density * (1.0 - link_density) * 255.0), 255.0)
-        score = score.astype(np.int64)
-    for y, ln in enumerate(grid.lines):
-        # exact fast gate: both boiler alternatives need '[' or '='
-        if score[y] > 0 and ("[" in ln or "=" in ln) and is_boiler_line(ln):
-            score[y] = 0
-    return score
+        score = _density_scores(line_id, vis_ns, mk, an, n_lines)
+    return _zero_boiler_lines(score, grid.lines)
 
 
 def find_text_boxes(
@@ -306,29 +339,13 @@ def _find_text_boxes_block(
     ws = (cp_all == 9) | (cp_all == 32) | nl
     vis_ns = ~mk_all & ~ws
     n_lines_total = sum(len(g.lines) for g in grids)
-    n_text = np.bincount(line_id[vis_ns],
-                         minlength=n_lines_total).astype(np.float64)
-    n_markup = np.bincount(line_id[mk_all],
-                           minlength=n_lines_total).astype(np.float64)
-    n_anchor = np.bincount(line_id[an_all & vis_ns],
-                           minlength=n_lines_total).astype(np.float64)
-    text_density = np.divide(
-        n_text, n_text + MARKUP_WEIGHT * n_markup,
-        out=np.zeros(n_lines_total), where=n_text > 0,
-    )
-    link_density = np.divide(
-        n_anchor, np.maximum(n_text, 1.0),
-        out=np.zeros(n_lines_total), where=n_text > 0,
-    )
-    score = np.minimum(
-        text_density * (1.0 - link_density) * 255.0, 255.0
-    ).astype(np.int64)
-    # boiler-line zeroing — the exact line_scores tail. The per-line
-    # Python sweep (score>0 + two substring scans per line) is replaced
-    # by its vectorized equivalent: the '['/'=' gate comes from the
-    # already-built global char stream (a bracket char is never a
-    # newline, so per-line bincount over line_id sees exactly the
-    # chars the per-line `in` scans saw), and only the surviving
+    score = _density_scores(line_id, vis_ns, mk_all, an_all, n_lines_total)
+    # boiler-line zeroing — the exact _zero_boiler_lines tail. The
+    # per-line Python sweep (score>0 + two substring scans per line) is
+    # replaced by its vectorized equivalent: the '['/'=' gate comes
+    # from the already-built global char stream (a bracket char is
+    # never a newline, so per-line bincount over line_id sees exactly
+    # the chars the per-line `in` scans saw), and only the surviving
     # candidate lines run the verbatim is_boiler_line regex.
     lines_per_grid = np.fromiter((len(g.lines) for g in grids),
                                  dtype=np.int64, count=len(grids))

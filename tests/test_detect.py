@@ -391,3 +391,32 @@ def test_batched_boiler_gate_spans_grids():
     got = find_text_boxes_batch(grids, DEFAULT_CONFIG)
     for g, bs in zip(grids, got):
         assert bs == find_text_boxes(g, DEFAULT_CONFIG)
+
+
+def test_boiler_gate_chars_cover_the_regex():
+    """The '['/'=' pre-filter (scalar in _zero_boiler_lines, char codes
+    0x5B/0x3D in the batched detector) must never skip a line the
+    boiler regex would match: is_boiler_line(ln) implies '[' or '='
+    in ln. Pinned structurally on every regex alternative's
+    representative, then fuzzed over the regex's own alphabet."""
+    import random
+    import string
+
+    from sparkocr.textgrid import is_boiler_line
+
+    for ln in ["[HEADER] x", "  [footer] y", "[PAGE 3]",
+               "=== PAGE 12 ===", "\t===page 1===  "]:
+        assert is_boiler_line(ln)
+        assert "[" in ln or "=" in ln
+        # stripping the gate chars must also kill the match — the gate
+        # is exact, not merely conservative, on these shapes
+        stripped = ln.replace("[", "").replace("]", "").replace("=", "")
+        assert not is_boiler_line(stripped)
+
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + " \t[]=PAGEheaderfooter"
+    for _ in range(20000):
+        ln = "".join(rng.choice(alphabet)
+                     for _ in range(rng.randint(0, 24)))
+        if is_boiler_line(ln):
+            assert "[" in ln or "=" in ln
