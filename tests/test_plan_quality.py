@@ -203,3 +203,43 @@ def test_paragraph_dedup_and_mix_corpus_no_python_path(spark, sf):
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # mix_corpus: the target table rides a broadcast, never a shuffle
     assert "BroadcastHashJoin" in p2
+
+
+def test_merged_driver_queries_plan_hygiene(spark):
+    """The round-4 merged driver queries compose many operators whose
+    individual plans are asserted above — but composition can
+    reintroduce what each piece avoids (a cartesian from a bad join
+    condition, a row-at-a-time Python node from a lost Arrow hint).
+    Pin the composed plans: no cartesian/nested-loop joins, no
+    row-at-a-time Python anywhere, and Arrow-batched kernels capped at
+    the known per-query count (gopher: the two rolling-hash window
+    generates; dedup battery: those plus the ExactSubstr kernel;
+    classifier scoring: one). Plan-built at sf0.001 so the model-fit
+    actions inside the lm/corpus queries stay cheap."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    max_arrow = {
+        "gopher_c4_documents": 2,
+        "dedup_battery_documents": 3,
+        "lm_ppl_documents": 0,
+        "lm_model_scores_documents": 1,
+        "mix_pack_documents": 0,
+        "corpus_funnels": 0,
+        "posexplode_bigram_documents": 0,
+        "embed_topk_neardup_exact": 0,
+    }
+    # embed_topk_neardup_exact is the LABELED exact all-pairs oracle
+    # (ann.py: brute-force cosine is the correctness baseline; the
+    # scale route is the LSH bucket equi-join) — its broadcast
+    # nested-loop join is the documented design, not a regression
+    nlj_ok = {"embed_topk_neardup_exact"}
+    qs = entry.queries()
+    for name, cap in max_arrow.items():
+        plan = _plan(qs[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        if name not in nlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert plan.count("ArrowEvalPython") <= cap, (
+            f"{name}: {plan.count('ArrowEvalPython')} Arrow nodes > {cap}")
