@@ -442,6 +442,15 @@ def write_baseline_md(result: dict) -> None:
         "",
         f"- sf dir: `{result['sf_dir']}`  ·  headline total: "
         f"**{result['value']} s** across {len(result['queries'])} queries",
+        # box conditions, so a degraded-capacity run is self-describing
+        # in this artifact too (the pinned BASELINE.md demands load < 1
+        # and parallel capacity ≥ 0.55 — a run below that is NOT
+        # comparable to the pin)
+        f"- box conditions: load1 {result.get('load1_at_start')} at "
+        f"start · parallel capacity "
+        f"{result.get('parallel_capacity_at_start')} at start, "
+        f"{result.get('parallel_capacity_at_end')} at end "
+        f"(pin requires load < 1, capacity ≥ 0.55)",
         "",
         "| query | sec |",
         "|---|---|",
