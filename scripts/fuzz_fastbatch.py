@@ -22,7 +22,9 @@ the per-turn oracle at round-4 HEAD. A third disjoint sweep (seeds
 detector/crop fast paths (boiler-gate vectorization, two-box merge
 unroll, full-width crop slices) — 384,000 fuzzed rows total.
 
-Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size]
+Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size] [seed0]
+(seed0 picks the base of the per-batch seed range — pass a fresh value
+for each sweep so ranges stay disjoint across runs)
 """
 import os
 import random
@@ -157,4 +159,5 @@ def main(n_batches=2000, batch_size=64, seed0=1000):
 if __name__ == "__main__":
     nb = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    main(nb, bs)
+    s0 = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+    main(nb, bs, s0)
