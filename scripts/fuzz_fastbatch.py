@@ -20,7 +20,10 @@ divergences. A second sweep the same day on a DISJOINT seed range
 the per-turn oracle at round-4 HEAD. A third disjoint sweep (seeds
 300000..301499, 96,000 rows, 0 divergences) ran after the late-round
 detector/crop fast paths (boiler-gate vectorization, two-box merge
-unroll, full-width crop slices) — 384,000 fuzzed rows total.
+unroll, full-width crop slices) — 384,000 fuzzed rows total. A
+fourth sweep (2026-08-20, seeds 700000..701499, 96,000 rows, 92.6%
+fast-path, 0 divergences) ran at round-4 final HEAD — 480,000 rows
+total, zero divergences across all four disjoint seed ranges.
 
 Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size] [seed0]
 (seed0 picks the base of the per-batch seed range — pass a fresh value
