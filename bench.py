@@ -501,11 +501,13 @@ def _wait_for_capacity(min_cap: float = 0.55,
     probe costs ~45 s itself); proceeds with a flagged reading when
     the budget runs out — the JSON field makes the run
     self-classifying either way. The budget is deliberately modest
-    (5 min default; ``SPARKOCR_BENCH_CAP_WAIT_S`` overrides): the
-    caller may itself run under a timeout, and a degraded-but-recorded
-    artifact beats a killed run."""
+    (10 min default — the one fully-observed degraded episode took
+    ~10 min to clear, see SCALING_NOTES "capacity-gated bench";
+    ``SPARKOCR_BENCH_CAP_WAIT_S`` overrides): the caller may itself
+    run under a timeout, and a degraded-but-recorded artifact beats a
+    killed run."""
     if max_wait_s is None:
-        max_wait_s = int(os.environ.get("SPARKOCR_BENCH_CAP_WAIT_S", "300"))
+        max_wait_s = int(os.environ.get("SPARKOCR_BENCH_CAP_WAIT_S", "600"))
     t0 = time.time()
     cap = parallel_capacity_median()
     while (cap is not None and cap < min_cap
