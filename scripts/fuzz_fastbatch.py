@@ -23,7 +23,10 @@ detector/crop fast paths (boiler-gate vectorization, two-box merge
 unroll, full-width crop slices) — 384,000 fuzzed rows total. A
 fourth sweep (2026-08-20, seeds 700000..701499, 96,000 rows, 92.6%
 fast-path, 0 divergences) ran at round-4 final HEAD — 480,000 rows
-total, zero divergences across all four disjoint seed ranges.
+total. A fifth sweep (2026-08-20, seeds 1100000..1101499, 96,000
+rows, 92.8% fast-path, 0 divergences) re-confirmed the same HEAD —
+576,000 rows total, zero divergences across all five disjoint seed
+ranges.
 
 Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size] [seed0]
 (seed0 picks the base of the per-batch seed range — pass a fresh value
