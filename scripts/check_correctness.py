@@ -3,7 +3,15 @@
 on DuckDB over the same parquet, compare row count + column names +
 order-insensitive value hash. Run: python scripts/check_correctness.py
 [sf_dir] [--query name ...] (each --query limits the run to the named
-queries — substring match — for fast iteration on one operator)"""
+queries — substring match — for fast iteration on one operator).
+
+At an sf_dir other than sf0.01 the golden-oracle queries (whose oracle
+is a committed sf0.01 pin, not SQL over the input tables) are skipped
+with a `skip` line; the run then checks scale-independence of the
+pure-SQL oracle family. Verified 2026-08-20 at sf0.001: all 28 SQL
+oracles pass, and the 18 hash-fails of a naive off-pin run were all
+golden-pinned queries (the other 4 goldens' outputs happen to be
+scale-insensitive and passed even against the pin)."""
 
 from __future__ import annotations
 
@@ -73,6 +81,14 @@ def main():
     import __spark_entry__ as entrymod
     from sparkocr.session import get_spark
 
+    # The committed golden-oracle fixtures are sf0.01 PINS (see
+    # scripts/make_oracle_goldens.py): at any other sf_dir those queries
+    # compare fresh Spark output against sf0.01 data and hash-fail by
+    # construction. Label them so an off-sf run reads as what it is — a
+    # scale-independence check of the pure-SQL oracle family only.
+    off_pin = os.path.normpath(sf) != os.path.normpath("/root/testdata/sf0.01")
+    golden = set(getattr(entrymod, "GOLDEN_ORACLE_QUERIES", ()))
+
     spark = get_spark(cores=8, app_name="correctness", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
@@ -82,9 +98,14 @@ def main():
 
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
-    n_pass = n_fail = n_rows_only = 0
+    n_pass = n_fail = n_rows_only = n_pinned = 0
     for name, fn in qs.items():
         if only and not any(pat in name for pat in only):
+            continue
+        if off_pin and name in golden:
+            print(f"skip  {name}: golden oracle is an sf0.01 pin "
+                  "[expected mismatch off-pin]")
+            n_pinned += 1
             continue
         t0 = time.time()
         try:
@@ -135,7 +156,8 @@ def main():
         else:
             print(f"PASS  {name}: {len(srows)} rows ({dt:.1f}s)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    pinned = f", {n_pinned} sf0.01-pinned skipped" if n_pinned else ""
+    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail{pinned}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
