@@ -26,7 +26,10 @@ fast-path, 0 divergences) ran at round-4 final HEAD — 480,000 rows
 total. A fifth sweep (2026-08-20, seeds 1100000..1101499, 96,000
 rows, 92.8% fast-path, 0 divergences) re-confirmed the same HEAD —
 576,000 rows total, zero divergences across all five disjoint seed
-ranges.
+ranges. A sixth sweep on a NEW GEOMETRY axis (300 batches x 512 rows,
+seeds 2000000..2000299 — 8× the usual batch size, drilling the
+256k-char block-boundary chunking harder) added 153,600 rows, 92.6%
+fast-path, 0 divergences — 729,600 rows total.
 
 Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size] [seed0]
 (seed0 picks the base of the per-batch seed range — pass a fresh value
