@@ -29,7 +29,12 @@ rows, 92.8% fast-path, 0 divergences) re-confirmed the same HEAD —
 ranges. A sixth sweep on a NEW GEOMETRY axis (300 batches x 512 rows,
 seeds 2000000..2000299 — 8× the usual batch size, drilling the
 256k-char block-boundary chunking harder) added 153,600 rows, 92.6%
-fast-path, 0 divergences — 729,600 rows total.
+fast-path, 0 divergences — 729,600 rows total. A seventh sweep on the
+OPPOSITE geometry axis (6000 batches x 16 rows, seeds
+3000000..3005999 — quarter-size batches drilling under-full blocks
+and tiny-batch crop alignment) added 96,000 rows, 92.6% fast-path,
+0 divergences — 825,600 rows total across seven disjoint seed ranges
+and three batch geometries (16 / 64 / 512 rows).
 
 Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size] [seed0]
 (seed0 picks the base of the per-batch seed range — pass a fresh value
