@@ -11,7 +11,10 @@ with a `skip` line; the run then checks scale-independence of the
 pure-SQL oracle family. Verified 2026-08-20 at sf0.001: all 28 SQL
 oracles pass, and the 18 hash-fails of a naive off-pin run were all
 golden-pinned queries (the other 4 goldens' outputs happen to be
-scale-insensitive and passed even against the pin)."""
+scale-insensitive and passed even against the pin). Verified the same
+day at sf0.1 (10x the driver's compare scale, 100x the sf0.001 run):
+all 28 SQL oracles pass there too — the oracle family agrees with the
+Spark plans across a 100x input-size span."""
 
 from __future__ import annotations
 

@@ -34,7 +34,10 @@ OPPOSITE geometry axis (6000 batches x 16 rows, seeds
 3000000..3005999 — quarter-size batches drilling under-full blocks
 and tiny-batch crop alignment) added 96,000 rows, 92.6% fast-path,
 0 divergences — 825,600 rows total across seven disjoint seed ranges
-and three batch geometries (16 / 64 / 512 rows).
+and three batch geometries (16 / 64 / 512 rows). An eighth sweep
+(3000 batches x 64 rows, seeds 4000000..4002999) added 192,000 rows,
+92.6% fast-path, 0 divergences — **1,017,600 fuzzed rows total**, zero
+divergences across eight disjoint seed ranges at round-4 final HEAD.
 
 Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size] [seed0]
 (seed0 picks the base of the per-batch seed range — pass a fresh value
