@@ -38,6 +38,8 @@ and three batch geometries (16 / 64 / 512 rows). An eighth sweep
 (3000 batches x 64 rows, seeds 4000000..4002999) added 192,000 rows,
 92.6% fast-path, 0 divergences — **1,017,600 fuzzed rows total**, zero
 divergences across eight disjoint seed ranges at round-4 final HEAD.
+A ninth sweep (6000 batches x 64 rows, seeds 5000000..5005999) added
+384,000 rows, 92.6% fast-path, 0 divergences — 1,401,600 rows total.
 
 Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size] [seed0]
 (seed0 picks the base of the per-batch seed range — pass a fresh value
