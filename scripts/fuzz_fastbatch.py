@@ -42,9 +42,11 @@ A ninth sweep (6000 batches x 64 rows, seeds 5000000..5005999) added
 384,000 rows, 92.6% fast-path, 0 divergences — 1,401,600 rows total.
 A tenth sweep back on the 512-row geometry (600 batches x 512 rows,
 seeds 6000000..6000599) added 307,200 rows, 92.5% fast-path, 0
-divergences — **1,708,800 fuzzed rows total, zero divergences across
-ten disjoint seed ranges and three batch geometries** at round-4
-final HEAD.
+divergences. An eleventh capstone sweep (12000 batches x 64 rows,
+seeds 7000000..7011999) added 768,000 rows, 92.6% fast-path, 0
+divergences — **2,476,800 fuzzed rows total, zero divergences across
+eleven disjoint seed ranges and three batch geometries (16/64/512)**
+at round-4 final HEAD.
 
 Usage: python scripts/fuzz_fastbatch.py [n_batches] [batch_size] [seed0]
 (seed0 picks the base of the per-batch seed range — pass a fresh value
