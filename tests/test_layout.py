@@ -68,6 +68,50 @@ def test_parse_layout_spark(spark):
     assert "Exchange" not in plan
 
 
+def test_parse_batch_equals_one_at_a_time():
+    """Batch invariance of the layout parser: parsing N payloads through
+    one shared detection pass must equal parsing each alone — pins the
+    ``slices`` index bookkeeping in ``parse_documents_batch`` (grids of
+    all docs' pages are concatenated; a slip would hand one document
+    another's boxes) with None/empty payloads interleaved."""
+    import random
+
+    from sparkocr.layout import parse_documents_batch
+
+    rng = random.Random(42)
+    words = ("revenue margin outlook fiscal steady quarter region "
+             "growth report total").split()
+
+    def page(with_head, pno):
+        lines = []
+        if with_head:
+            lines.append("ACME Quarterly Report")
+        lines.append("")
+        lines.append(" ".join(rng.choice(words)
+                              for _ in range(rng.randint(6, 14))) + ".")
+        if rng.random() < 0.3:
+            lines += ["a | b | c", "1 | 2 | 3"]
+        lines += ["", str(pno)]
+        return "\n".join(lines)
+
+    payloads = []
+    for _ in range(40):
+        roll = rng.random()
+        if roll < 0.1:
+            payloads.append(None)
+        elif roll < 0.2:
+            payloads.append("")
+        else:
+            with_head = rng.random() < 0.7
+            payloads.append(PAGE_SEP.join(
+                page(with_head, p + 1)
+                for p in range(rng.randint(1, 4))))
+
+    batched = parse_documents_batch(payloads)
+    single = [parse_documents_batch([t])[0] for t in payloads]
+    assert batched == single
+
+
 def test_assemble_documents_deterministic(spark):
     docs = spark.createDataFrame(
         [(i, f"page text {i}") for i in range(9)], "doc_id long, text string"
