@@ -120,3 +120,16 @@ def test_assemble_documents_deterministic(spark):
     assert set(rows) == {0, 1, 2}
     assert rows[0]["payload"] == PAGE_SEP.join(["page text 0", "page text 1", "page text 2"])
     assert rows[1]["n_pages_expected"] == 3
+
+
+def test_assemble_documents_negative_ids_floor(spark):
+    """The grouping is FLOOR division (−1..−3 → group −1), not a
+    truncate-toward-zero cast (which would lump −2..2 together) — the
+    exact hazard the implementation comment calls out."""
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(-3, 3)], "doc_id long, text string"
+    )
+    rows = {r["pdoc_id"]: r for r in assemble_documents(docs).collect()}
+    assert set(rows) == {-1, 0}
+    assert rows[-1]["payload"] == PAGE_SEP.join(["t-3", "t-2", "t-1"])
+    assert rows[0]["payload"] == PAGE_SEP.join(["t0", "t1", "t2"])
