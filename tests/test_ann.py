@@ -7,6 +7,7 @@ the identical IEEE-754 double."""
 import struct
 
 import pyspark.sql.functions as F
+import pytest
 
 from sparkocr.ann import (
     _dot,
@@ -41,6 +42,20 @@ def test_sql_double_array_bit_exact(spark):
     ).collect()[0]["b"]
     assert [struct.pack("<d", x) for x in a] == \
         [struct.pack("<d", y) for y in b]
+
+
+def test_sql_double_array_rejects_non_finite():
+    """A NaN/Inf element must fail fast with the offending index, not
+    reach SQL as an unparseable 'nanD'/'infD' literal (review fix)."""
+    with pytest.raises(ValueError, match="element 2"):
+        _sql_double_array([0.0, 1.0, float("nan"), 2.0])
+    with pytest.raises(ValueError, match="element 0"):
+        _sql_double_array([float("inf")])
+    with pytest.raises(ValueError, match="element 1"):
+        _sql_double_array([1.0, float("-inf")])
+    # finite extremes still pass
+    _sql_double_array([0.0, -0.0, 1.7976931348623157e308,
+                       5e-324, -5e-324])
 
 
 def test_with_lsh_bucket_equals_lit_form(spark):
