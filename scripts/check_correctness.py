@@ -89,7 +89,14 @@ def main():
     # compare fresh Spark output against sf0.01 data and hash-fail by
     # construction. Label them so an off-sf run reads as what it is — a
     # scale-independence check of the pure-SQL oracle family only.
-    off_pin = os.path.normpath(sf) != os.path.normpath("/root/testdata/sf0.01")
+    pin_dir = "/root/testdata/sf0.01"
+    if os.path.exists(sf) and os.path.exists(pin_dir):
+        # realpath both sides: a relative path or symlink to the pin dir
+        # must still count as on-pin, else the golden-oracle family is
+        # silently skipped (ADVICE r4)
+        off_pin = os.path.realpath(sf) != os.path.realpath(pin_dir)
+    else:
+        off_pin = os.path.normpath(sf) != os.path.normpath(pin_dir)
     golden = set(getattr(entrymod, "GOLDEN_ORACLE_QUERIES", ()))
 
     spark = get_spark(cores=8, app_name="correctness", shuffle_partitions=16)
