@@ -485,12 +485,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return semi.unionByName(anti)
 
-    def q_rollup_orders(spark, sf):
-        return (
+    def q_rollup_cube_sales(spark, sf):
+        # merged round 5 (frees contract slots for the streaming ledger
+        # and the sampling/chunking rows): the long-green rollup_orders,
+        # cube_lineitem, and orders_by_month probes as ONE tagged union —
+        # same multi-column merge pattern as round 4; each operator's
+        # rows stay individually hash-verified under its src tag.
+        rollup = (
             _t(spark, sf, "orders")
             .rollup("o_orderstatus", "o_orderpriority")
             .agg(F.count("*").alias("n"))
+            .select(F.lit("rollup_orders").alias("src"),
+                    F.col("o_orderstatus").alias("k1"),
+                    F.col("o_orderpriority").alias("k2"),
+                    "n", F.lit(None).cast("double").alias("agg_val"))
         )
+        cube = (
+            _t(spark, sf, "lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+            .select(F.lit("cube_lineitem").alias("src"),
+                    F.col("l_returnflag").alias("k1"),
+                    F.col("l_linestatus").alias("k2"),
+                    "n", F.col("sum_qty").alias("agg_val"))
+        )
+        monthly = (
+            _t(spark, sf, "orders")
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+            .select(F.lit("orders_by_month").alias("src"),
+                    F.col("month").alias("k1"),
+                    F.lit(None).cast("string").alias("k2"),
+                    "n", F.col("total_price").alias("agg_val"))
+        )
+        return rollup.unionByName(cube).unionByName(monthly)
 
     def q_asof_join_events(spark, sf):
         from sparkocr.relational import asof_join
@@ -530,14 +560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev.groupBy("user_id", "session_id")
             .agg(F.count("*").cast("long").alias("n_events"),
                  F.min("event_id").alias("first_event"))
-        )
-
-    def q_cube_lineitem(spark, sf):
-        return (
-            _t(spark, sf, "lineitem")
-            .cube("l_returnflag", "l_linestatus")
-            .agg(F.count("*").alias("n"),
-                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         )
 
     def q_except_nations(spark, sf):
@@ -587,14 +609,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         eng = SparkOcrEngine(spark)
         out = eng.extract(mixed, route_documents=True)
         return ordered(out).select("conv_id", "turn_idx", "n_blocks", "full_text")
-
-    def q_orders_by_month(spark, sf):
-        return (
-            _t(spark, sf, "orders")
-            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
-            .agg(F.count("*").alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 2).alias("total_price"))
-        )
 
     # -- multimodal (deterministic fake codec; plumbing is the subject) ------
 
@@ -726,6 +740,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bucket int, n_turns long, n_blocks long, empty_rate double, "
             "mean_confidence double, n_errors long")
 
+    def q_streaming_extract_ledger(spark, sf):
+        # round-5: streaming gets its driver row (round-4 verdict task
+        # #3) — the availableNow incremental extract with a MID-RUN
+        # RESTART, verified exactly the way checkpointed_extract_ledger
+        # verifies the batch path. Script: land half the corpus (conv
+        # buckets 0-3) in the source dir, drain it with one availableNow
+        # run, land the second half, drain again on the SAME streaming
+        # checkpoint. Exactly-once over the restart is what the ledger
+        # pins: run 2 must process ONLY the new files (no re-extraction,
+        # no duplicates), so each bucket appears once, tagged with the
+        # run that committed it, with metrics over all its turns.
+        # Deterministic (bucket = pmod(xxhash64(conv_id), 8); metrics
+        # from committed parquet) → pins as a golden. Wall time excluded.
+        import tempfile
+
+        from sparkocr.streaming import extract_stream
+
+        docs = _as_transcripts(_t(spark, sf, "documents")).select(
+            "conv_id", "turn_idx", "role", "text",
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        ).withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int"))
+        bucket_of = F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int")
+        with tempfile.TemporaryDirectory() as td:
+            src, out, ckpt = f"{td}/in", f"{td}/out", f"{td}/ckpt"
+            docs.where(F.col("bucket") < 4).drop("bucket") \
+                .write.mode("append").parquet(src)
+            extract_stream(spark, src, out, ckpt).awaitTermination()
+            # expected = the low buckets actually PRESENT in the input
+            # (conv_id cardinality can leave a hash bucket empty at
+            # small sf) — bounded collect: ≤ 8 rows
+            expected1 = {
+                int(r["bucket"]) for r in docs.where(F.col("bucket") < 4)
+                .select("bucket").distinct().collect()
+            }
+            first = {
+                int(r["bucket"]) for r in spark.read.parquet(out)
+                .select(bucket_of.alias("bucket")).distinct().collect()
+            }
+            if first != expected1:
+                raise RuntimeError(
+                    f"first availableNow run drained buckets {sorted(first)}, "
+                    f"expected exactly {sorted(expected1)}")
+            docs.where(F.col("bucket") >= 4).drop("bucket") \
+                .write.mode("append").parquet(src)
+            extract_stream(spark, src, out, ckpt).awaitTermination()
+            committed = spark.read.parquet(out) \
+                .withColumn("bucket", bucket_of)
+            n_in = docs.count()
+            n_out = committed.count()
+            if n_out != n_in:
+                raise RuntimeError(
+                    f"restart broke exactly-once: {n_out} output turns vs "
+                    f"{n_in} input (duplicates or loss across the resume)")
+            ledger = (
+                committed.groupBy("bucket")
+                .agg(F.count("*").alias("n_turns"),
+                     F.sum("n_blocks").cast("long").alias("n_blocks"),
+                     F.round(F.avg(F.when(F.col("n_blocks") == 0, 1.0)
+                                   .otherwise(0.0)), 6).alias("empty_rate"),
+                     F.round(F.avg(F.expr(
+                         "aggregate(blocks, cast(0.0 as double), "
+                         "(a, b) -> a + b.confidence)"
+                         " / greatest(size(blocks), 1)")), 6)
+                     .alias("mean_confidence"),
+                     F.sum(F.when(F.col("error_code").isNotNull(), 1)
+                           .otherwise(0)).cast("long").alias("n_errors"))
+                .withColumn("run", F.when(F.col("bucket") < 4, 1).otherwise(2))
+                .select("bucket", "run", "n_turns", "n_blocks",
+                        "empty_rate", "mean_confidence", "n_errors")
+            )
+            rows = ledger.collect()  # bounded: 8 buckets
+        return spark.createDataFrame(
+            rows,
+            "bucket int, run int, n_turns long, n_blocks long, "
+            "empty_rate double, mean_confidence double, n_errors long")
+
+    def q_dsir_chunk_documents(spark, sf):
+        # round-5 stretch: the last pytest-only deterministic operators
+        # get a driver row — DSIR's Gumbel top-k sampler (Xie 2023) and
+        # the greedy conversation chunker, as one tagged union (the
+        # round-4 merge pattern; each arm's rows hash-verified under its
+        # kind tag). The SQL oracle re-derives BOTH from the documents
+        # table alone: the sampler's md5-Gumbel keys are
+        # engine-reproducible by construction, and the chunker's greedy
+        # state machine is a recursive CTE (validated against the
+        # kernel on randomized corpora in tests/test_corpus_ops.py).
+        from sparkocr.analysis import chunk_conversations
+        from sparkocr.lm import dsir_sample
+
+        docs = _t(spark, sf, "documents")
+        weights = docs.select(
+            "doc_id",
+            F.round(F.log(F.col("n_chars").cast("double")) - F.lit(5.7),
+                    6).alias("log_w"))
+        sampled = dsir_sample(weights, k=40).select(
+            F.lit("dsir").alias("kind"),
+            F.col("doc_id").cast("string").alias("conv"),
+            F.lit(None).cast("long").alias("turn"),
+            F.lit(None).cast("long").alias("chunk"),
+            F.lit(None).cast("int").alias("pos"),
+            F.lit(None).cast("long").alias("n_tokens"),
+            F.col("gumbel_key").alias("score"),
+        )
+        turns = docs.select(
+            F.col("source").alias("conv_id"),
+            F.col("doc_id").alias("turn_idx"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+        chunked = chunk_conversations(turns, max_tokens=300).select(
+            F.lit("chunk").alias("kind"), "conv", "turn", "chunk",
+            "pos", "n_tokens",
+            F.lit(None).cast("double").alias("score"),
+        )
+        return sampled.unionByName(chunked)
+
     # -- extraction pipeline (rows-only: correctness gate = golden tests) ----
 
     def q_extract_documents(spark, sf):
@@ -809,7 +939,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lsh_topk_neardup_embeddings(spark, sf):
         # merged round 4: LSH-bucketed top-k + LSH-bucketed near-dup
         # pairs (both pins, same scan family) as one tagged union —
-        # each operator's rows stay individually hash-verified
+        # each operator's rows stay individually hash-verified.
+        # Round 5 adds the THIRD sibling on the same scan: the SemDeDup
+        # cluster-pruned near-dup pairs (cluster_neardup_pairs — k-means
+        # coarse clusters, cosine pruning within a cluster), promoting
+        # the last pytest-only ANN operator into the hard signal. Pin
+        # regenerated for the widened union (said in the commit).
+        from sparkocr.ann import cluster_neardup_pairs
+
         emb = _t(spark, sf, "embeddings")
         qv = _query_vec(emb, 0)  # raises on empty/missing id
         dim = len(qv)
@@ -827,7 +964,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id_b").cast("long").alias("id_b"),
             F.col("cosine").alias("score"),
         )
-        return topk.unionByName(pairs)
+        clusters = cluster_neardup_pairs(
+            emb, dim=dim, threshold=0.42, nlist=8, iters=2
+        ).select(
+            F.lit("cluster").alias("kind"),
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("cosine").alias("score"),
+        )
+        return topk.unionByName(pairs).unionByName(clusters)
 
     # -- round-4 rotation: the LM/corpus operator family enters the
     # -- hard signal (merged multi-column queries; see SURVEY §2.7)
@@ -1090,14 +1235,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ORDER IS THE COVERAGE POLICY: the driver runs queries in dict
     # order under a ~50-query budget, so the least-driver-verified
-    # queries come FIRST — (a) the round-4 rotation: the round-3
-    # LM/corpus operator family's first driver rows (all-new queries),
-    # (b) queries merged or changed this round (every prior operator's
-    # columns live on inside them, individually hash-verified),
-    # (c) long-green queries close the dict; any truncation drops only
-    # rows that were green in a prior round and remain pytest-gated.
+    # queries come FIRST — (a) the round-5 rotation: streaming's first
+    # driver row, the sampling/chunking stretch row, and the round-5
+    # merges (rollup+cube+monthly as one tagged union; the cluster-
+    # neardup arm added to the embeddings union), (b) the round-4
+    # rotation (LM/corpus family), (c) long-green queries close the
+    # dict; any truncation drops only rows that were green in a prior
+    # round and remain pytest-gated.
     return {k: _wrap(v) for k, v in {
-        # (a) new this round — the LM/corpus family's hard signal
+        # (a) new/changed this round
+        "streaming_extract_ledger": q_streaming_extract_ledger,
+        "dsir_chunk_documents": q_dsir_chunk_documents,
+        "rollup_cube_sales": q_rollup_cube_sales,
+        # (b) round-4 rotation — the LM/corpus family's hard signal
         "gopher_c4_documents": q_gopher_c4_documents,
         "dedup_battery_documents": q_dedup_battery_documents,
         "lm_ppl_documents": q_lm_ppl_documents,
@@ -1111,10 +1261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split_documents": q_sample_split_documents,
         "lsh_topk_neardup_embeddings": q_lsh_topk_neardup_embeddings,
         "doc_metrics_documents": q_doc_metrics_documents,
-        # (c) previously green (round-3 artifact, hash-verified)
+        # (c) previously green (round-3/4 artifacts, hash-verified)
         "layout_regions_documents": q_layout_regions_documents,
         "extract_route_documents": q_extract_route_documents,
-        "orders_by_month": q_orders_by_month,
         "media_image_features": q_media_image_features,
         "media_video_frames": q_media_video_frames,
         "clean_corpus_pipeline": q_clean_corpus_pipeline,
@@ -1144,8 +1293,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "simhash_neardup_documents": q_simhash_neardup_documents,
         "broadcast_join_orders": q_broadcast_join_orders,
-        "rollup_orders": q_rollup_orders,
-        "cube_lineitem": q_cube_lineitem,
         "asof_join_events": q_asof_join_events,
         "interval_join_events": q_interval_join_events,
         "except_nations": q_except_nations,
@@ -1224,6 +1371,7 @@ SELECT user_id, count(DISTINCT grp) AS n_merged FROM g GROUP BY user_id
 # Regenerate deliberately via scripts/make_oracle_goldens.py after any
 # intended semantics change, and say so in the commit.
 GOLDEN_ORACLE_QUERIES = [
+    "streaming_extract_ledger",
     "gopher_c4_documents",
     "dedup_battery_documents",
     "lm_model_scores_documents",
@@ -1609,9 +1757,87 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN
               (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
         """,
-        "rollup_orders": """
-            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        "rollup_cube_sales": """
+            SELECT 'rollup_orders' AS src, o_orderstatus AS k1,
+                   o_orderpriority AS k2, count(*) AS n,
+                   CAST(NULL AS DOUBLE) AS agg_val
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            UNION ALL
+            SELECT 'cube_lineitem' AS src, l_returnflag AS k1,
+                   l_linestatus AS k2, count(*) AS n,
+                   round(sum(l_quantity), 2) AS agg_val
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            UNION ALL
+            SELECT 'orders_by_month' AS src,
+                   strftime(o_orderdate, '%Y-%m') AS k1,
+                   CAST(NULL AS VARCHAR) AS k2, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS agg_val
+            FROM orders GROUP BY 2
+        """,
+        "dsir_chunk_documents": """
+            WITH RECURSIVE weights AS (
+              SELECT doc_id,
+                     round(ln(CAST(n_chars AS DOUBLE)) - 5.7, 6) AS log_w
+              FROM documents
+            ), gumbel AS (
+              -- the sampler's seedless-deterministic Gumbel key: u from
+              -- the first 12 md5 hex digits of the key (48 bits, exact
+              -- in a double), g = -ln(-ln(u)); same double rounding as
+              -- the Spark op (log_w to 6dp, then the sum to 6dp)
+              SELECT doc_id, log_w,
+                     round(log_w + -ln(-ln(
+                       (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                             AS BIGINT) + 1.0) / (281474976710657.0)
+                     )), 6) AS gumbel_key
+              FROM weights
+            ), sampled AS (
+              SELECT doc_id, gumbel_key FROM gumbel
+              ORDER BY gumbel_key DESC, doc_id LIMIT 40
+            ), seq AS (
+              SELECT source AS conv, doc_id AS turn,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents
+            ), rec AS (
+              -- the greedy chunker's state machine: (chunk, pos) emitted
+              -- per turn, post-state (s_cur, s_sum, s_pos) carried; an
+              -- oversize turn (> 300 tokens) closes its own chunk
+              SELECT conv, rn, turn, n_tokens,
+                     CAST(0 AS BIGINT) AS chunk, 0 AS pos,
+                     CASE WHEN n_tokens > 300 THEN CAST(1 AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END AS s_cur,
+                     CASE WHEN n_tokens > 300 THEN CAST(0 AS BIGINT)
+                          ELSE n_tokens END AS s_sum,
+                     CASE WHEN n_tokens > 300 THEN 0 ELSE 1 END AS s_pos
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.conv, s.rn, s.turn, s.n_tokens,
+                     CASE WHEN r.s_pos > 0 AND r.s_sum + s.n_tokens > 300
+                          THEN r.s_cur + 1 ELSE r.s_cur END,
+                     CASE WHEN r.s_pos > 0 AND r.s_sum + s.n_tokens > 300
+                          THEN 0 ELSE r.s_pos END,
+                     CASE WHEN s.n_tokens > 300
+                          THEN (CASE WHEN r.s_pos > 0 AND r.s_sum + s.n_tokens > 300
+                                     THEN r.s_cur + 1 ELSE r.s_cur END) + 1
+                          ELSE CASE WHEN r.s_pos > 0 AND r.s_sum + s.n_tokens > 300
+                                    THEN r.s_cur + 1 ELSE r.s_cur END END,
+                     CASE WHEN s.n_tokens > 300 THEN CAST(0 AS BIGINT)
+                          ELSE (CASE WHEN r.s_pos > 0 AND r.s_sum + s.n_tokens > 300
+                                     THEN 0 ELSE r.s_sum END) + s.n_tokens END,
+                     CASE WHEN s.n_tokens > 300 THEN 0
+                          ELSE (CASE WHEN r.s_pos > 0 AND r.s_sum + s.n_tokens > 300
+                                     THEN 0 ELSE r.s_pos END) + 1 END
+              FROM rec r JOIN seq s ON s.conv = r.conv AND s.rn = r.rn + 1
+            )
+            SELECT 'dsir' AS kind, CAST(doc_id AS VARCHAR) AS conv,
+                   CAST(NULL AS BIGINT) AS turn, CAST(NULL AS BIGINT) AS chunk,
+                   CAST(NULL AS INTEGER) AS pos, CAST(NULL AS BIGINT) AS n_tokens,
+                   gumbel_key AS score
+            FROM sampled
+            UNION ALL
+            SELECT 'chunk' AS kind, conv, turn, chunk, pos, n_tokens,
+                   CAST(NULL AS DOUBLE) AS score
+            FROM rec
         """,
         "asof_join_events": """
             -- NOTE: DuckDB's ASOF pick among right rows tied on
@@ -1658,23 +1884,12 @@ def oracle_sql() -> dict[str, str]:
             FROM iv a JOIN iv b
               ON a.k < b.k AND a.s - 2 <= b.e AND b.s - 2 <= a.e
         """,
-        "cube_lineitem": """
-            SELECT l_returnflag, l_linestatus, count(*) AS n,
-                   round(sum(l_quantity), 2) AS sum_qty
-            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-        """,
         "except_nations": """
             SELECT DISTINCT c_nationkey AS nationkey FROM customer
             WHERE c_acctbal > 9000
             EXCEPT
             SELECT DISTINCT s_nationkey AS nationkey FROM supplier
             WHERE s_acctbal > 9000
-        """,
-        "orders_by_month": """
-            SELECT strftime(o_orderdate, '%Y-%m') AS month,
-                   count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_price
-            FROM orders GROUP BY 1
         """,
         "doc_pages_documents": """
             WITH payloads AS (

@@ -128,19 +128,19 @@ def test_full_suite_completes_inside_wall_budget():
 def test_least_verified_queries_stay_first():
     """The least-driver-verified queries are deliberately ordered FIRST
     in queries() so a budget-truncated harness always covers them: the
-    six round-4 rotation queries (the LM/corpus family's first driver
-    rows), then the six merged/changed ones. An accidental reorder
-    would silently demote them behind long-green rows."""
+    three round-5 rotation queries (streaming's first driver row, the
+    sampling/chunking stretch row, the rollup+cube+monthly merge), then
+    the round-4 rotation. An accidental reorder would silently demote
+    them behind long-green rows."""
     order = list(entrymod.queries())
+    new_r5 = [
+        "streaming_extract_ledger", "dsir_chunk_documents",
+        "rollup_cube_sales",
+    ]
     new_r4 = {
         "gopher_c4_documents", "dedup_battery_documents",
         "lm_ppl_documents", "lm_model_scores_documents",
         "mix_pack_documents", "corpus_funnels",
     }
-    merged_r4 = {
-        "posexplode_bigram_documents", "embed_topk_neardup_exact",
-        "probe_url_counts_documents", "sample_split_documents",
-        "lsh_topk_neardup_embeddings", "doc_metrics_documents",
-    }
-    assert set(order[:6]) == new_r4, order[:6]
-    assert set(order[6:12]) == merged_r4, order[6:12]
+    assert order[:3] == new_r5, order[:3]
+    assert set(order[3:9]) == new_r4, order[3:9]
