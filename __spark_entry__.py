@@ -439,6 +439,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL-oracled). Near-dup threshold tuned to the synthetic
         # embeddings (near-random: max pairwise cosine ≈ 0.51) so the
         # result is non-trivial.
+        # Round-5 scale fix: the exact-pairs arm is an all-pairs cross
+        # join BY DESIGN (the labeled oracle for the LSH path) and went
+        # quadratic exactly where the sf1 slope run predicted — 20k
+        # vectors = 200M scored pairs, ~an hour on 8 cores. A recall
+        # oracle never needs the whole corpus: bound it to a FIXED
+        # deterministic sample (vec_id < 2000 — the full table at the
+        # sf0.01 gate, so the pin is unchanged; constant cost at any
+        # larger sf). The top-k arm stays full-corpus (linear).
         emb = _t(spark, sf, "embeddings")
         topk = cosine_topk(emb, _query_vec(emb, 0), k=10).select(
             F.lit("topk").alias("kind"),
@@ -446,7 +454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vec_id").cast("long").alias("id_b"),
             F.col("cosine").alias("score"),
         )
-        pairs = cosine_neardup_pairs(emb, threshold=0.38).select(
+        pairs = cosine_neardup_pairs(
+            emb.where(F.col("vec_id") < 2000), threshold=0.38
+        ).select(
             F.lit("neardup").alias("kind"),
             F.col("id_a").cast("long").alias("id_a"),
             F.col("id_b").cast("long").alias("id_b"),
@@ -1737,10 +1747,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'neardup' AS kind, CAST(id_a AS BIGINT) AS id_a,
                    CAST(id_b AS BIGINT) AS id_b, cosine AS score
             FROM (
+              -- vec_id < 2000: the exact-pairs arm is bounded to a
+              -- fixed sample (see the Spark query's round-5 scale fix)
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                   b.embedding::DOUBLE[]), 4) AS cosine
-              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              FROM (SELECT * FROM embeddings WHERE vec_id < 2000) a
+              JOIN (SELECT * FROM embeddings WHERE vec_id < 2000) b
+                ON a.vec_id < b.vec_id
             ) WHERE cosine >= 0.38
         """,
         "broadcast_join_orders": """
