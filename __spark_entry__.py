@@ -547,11 +547,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_interval_join_events(spark, sf):
+        # Round-5 scale fix (sf1 mirror finding): the events value range
+        # is FIXED, so interval density grows with sf and the pair
+        # OUTPUT grows quadratically — 21k pairs at sf0.01, 131.7M at
+        # sf1. The operator itself is output-bounded (banded equi-join,
+        # cost ∝ pairs — the honest lower bound for "emit all
+        # overlapping pairs"); it is the PROBE that must stay
+        # fixed-size: bound the input to event_id < 20000, a superset
+        # of the whole sf0.01 table, so the gate hash is unchanged and
+        # the probe's density is sf-invariant.
         from sparkocr.relational import interval_overlap_join
 
         iv = (
             _t(spark, sf, "events")
-            .where(F.col("event_type") == "error")
+            .where((F.col("event_type") == "error")
+                   & (F.col("event_id") < 20000))
             .select(
                 F.col("event_id").alias("k"),
                 F.floor(F.col("value") * 100).cast("long").alias("start"),
@@ -1892,10 +1902,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "interval_join_events": """
             WITH iv AS (
+              -- event_id < 20000: fixed-size probe bound (see the
+              -- Spark query's round-5 scale fix)
               SELECT event_id AS k,
                      CAST(floor(value * 100) AS BIGINT) AS s,
                      CAST(floor(value * 100) AS BIGINT) + 50 AS e
-              FROM events WHERE event_type = 'error'
+              FROM events WHERE event_type = 'error' AND event_id < 20000
             )
             SELECT a.k AS k_a, b.k AS k_b, a.s AS s_a, a.e AS e_a,
                    b.s AS s_b, b.e AS e_b
