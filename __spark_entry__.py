@@ -847,7 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table alone: the sampler's md5-Gumbel keys are
         # engine-reproducible by construction, and the chunker's greedy
         # state machine is a recursive CTE (validated against the
-        # kernel on randomized corpora in tests/test_corpus_ops.py).
+        # kernel on randomized corpora in tests/test_packing.py).
         from sparkocr.analysis import chunk_conversations
         from sparkocr.lm import dsir_sample
 

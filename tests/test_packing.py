@@ -286,6 +286,55 @@ def test_chunk_conversations_rejects_bad_budget(spark):
         chunk_conversations(_cdf(spark, [("c", 0, 1)]), 0)
 
 
+def test_chunk_oracle_cte_matches_kernel_randomized(spark):
+    """The dsir_chunk_documents contract oracle re-derives the greedy
+    chunker as a recursive CTE; the driver only ever compares it on one
+    dataset. This pins the CTE's state machine against the Spark kernel
+    on RANDOMIZED corpora (token counts spanning the overflow, oversize,
+    and empty-budget branches) by running the committed oracle SQL on
+    DuckDB over the same synthetic documents table."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from sparkocr.analysis import chunk_conversations
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    rows = []
+    did = 0
+    for c in range(12):
+        for _ in range(rng.randrange(1, 40)):
+            # word counts around the oracle's 300-token budget: small,
+            # boundary-straddling, and oversize turns all occur
+            n = rng.choice([rng.randrange(1, 80), 299, 300, 301,
+                            rng.randrange(250, 350), 500])
+            rows.append((did, " ".join("w%d" % rng.randrange(9)
+                                       for _ in range(n)), f"src{c}"))
+            did += 1
+    con = duckdb.connect()
+    con.register("documents_py", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text", "n_chars_src"]))
+    con.execute("CREATE VIEW documents AS SELECT doc_id, text, "
+                "n_chars_src AS source, length(text) AS n_chars "
+                "FROM documents_py")
+    sql = entrymod.oracle_sql()["dsir_chunk_documents"]
+    want = {(r[1], r[2]): (r[3], r[4], r[5])
+            for r in con.execute(sql).fetchall() if r[0] == "chunk"}
+    df = spark.createDataFrame(
+        [(d, t, s) for d, t, s in rows],
+        "doc_id long, text string, source string")
+    turns = df.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    got = {(r["conv"], r["turn"]): (r["chunk"], r["pos"], r["n_tokens"])
+           for r in chunk_conversations(turns, max_tokens=300).collect()}
+    assert len(got) == len(rows)
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # sft_mask_spans
 
