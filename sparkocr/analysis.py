@@ -1912,18 +1912,29 @@ def _shingle_posting(df: DataFrame, key_col: str, text_col: str,
     THE single home of shingle construction. Documents shorter than n
     tokens have NO n-grams (the sequence expression would otherwise emit
     one truncated shingle at index 0, silently diverging from the
-    pos+1-join oracle SQL)."""
-    toks = F.split(F.col(text_col), " ")
+    pos+1-join oracle SQL).
+
+    The token array is PROJECTED to a column before the gram transform:
+    a split() expression referenced inside the lambda is re-evaluated
+    per sequence element (Catalyst does not hoist subexpressions out of
+    higher-order-function lambdas), re-splitting the whole document
+    once per token — O(n²) per doc. Invisible at the corpus's ~60-token
+    documents; a planted 400k-token whale took >10 min per task before
+    and 0.9 s after (tests/test_skew_whales.py is the regression
+    gate)."""
+    raw = F.split(F.col(text_col), " ")
+    pre = (
+        spread_small_scan(df.where(F.size(raw) >= n))
+        .select(F.col(key_col).alias("doc"), raw.alias("_toks"))
+    )
+    toks = F.col("_toks")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )
     )
-    return (
-        spread_small_scan(df.where(F.size(toks) >= n))
-        .select(F.col(key_col).alias("doc"), F.explode(grams).alias("gram"))
-    )
+    return pre.select("doc", F.explode(grams).alias("gram"))
 
 
 def ngram_jaccard_pairs(
