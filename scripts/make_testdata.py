@@ -142,14 +142,31 @@ def gen(sf: float, outdir: str, seed: int = 42) -> None:
     n_doc = int(50_000 * sf)
     n_words = rng.integers(8, 105, n_doc)
     vocab = np.array(VOCAB)
-    # one flat draw then split: ~40x faster than a per-doc loop
-    flat = vocab[rng.integers(0, len(vocab), int(n_words.sum()))]
+    # one flat draw then split: ~40x faster than a per-doc loop.
+    # Token mix: half from the driver's small OLAP vocabulary (hot
+    # shingles), half from a Zipf long tail whose size grows with sf
+    # (Heaps' law) — with ONLY the 30-word vocab, every bigram's df
+    # blows past the jaccard stop-shingle cap once the corpus passes
+    # ~10k docs and the near-dup probes go trivially empty at sf1+
+    total = int(n_words.sum())
+    n_tail = 2_000 + int(30_000 * sf ** 0.7)
+    tail = np.minimum(rng.zipf(1.3, total), n_tail)
+    flat = np.where(
+        rng.random(total) < 0.5,
+        vocab[rng.integers(0, len(vocab), total)],
+        np.char.add("w", tail.astype("U7")),
+    )
     bounds = np.cumsum(n_words)[:-1]
     texts = [" ".join(w) for w in np.split(flat, bounds)]
-    # plant exact duplicates (~2%) so dedup operators have real work
-    dup_idx = rng.choice(n_doc, max(n_doc // 50, 1), replace=False)
-    for i in dup_idx:
-        texts[i] = texts[int(dup_idx[0])]
+    # plant exact duplicates (~2%) so dedup operators have real work —
+    # as PAIRS with distinct contents per pair, not one giant identical
+    # cluster: a size-k cluster emits k^2/2 near-dup pairs (quadratic
+    # probe output) while its shared shingles blow past the jaccard
+    # max_df stop-shingle cap (trivially empty probe); pairs keep both
+    # probes linear and non-trivial at every sf
+    dup_idx = rng.choice(n_doc, 2 * max(n_doc // 100, 1), replace=False)
+    for a, b in zip(dup_idx[::2], dup_idx[1::2]):
+        texts[int(b)] = texts[int(a)]
     write("documents", pa.table({
         "doc_id": pa.array(range(n_doc), type=pa.int64()),
         "text": texts,
