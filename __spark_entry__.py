@@ -1149,6 +1149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recipe; deterministic content-derived labels), and the BPE
         # token-id count under a corpus-trained tokenizer (Sennrich
         # 2016). All seedless/deterministic, so the sf0.01 result pins.
+        # Latency shape (r4 note, r5 measured): training IN the query
+        # (60 BPE merge rounds + bounded GD iterations, each one corpus
+        # pass) is LINEAR in corpus size with a large constant — the
+        # sf0.1→sf2 ladder reads alpha 0.92 at 12.8→90.4 s
+        # (SCALING_NOTES "scale slopes"). Fine at the sf0.01 gate; at
+        # production scale train once offline and pass the artifacts in
+        # (lm.vocab_to_keys_bytes bridges them to the engine).
         from sparkocr.lm import (bpe_encode_ids, bpe_vocab, dsir_weights,
                                  quality_scores, train_bpe,
                                  train_quality_classifier)

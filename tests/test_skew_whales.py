@@ -125,6 +125,38 @@ class TestWhaleConversation:
         whale.unpersist()
         uniform.unpersist()
 
+    def test_sft_chunking_survives_the_whale_conv(self, spark):
+        """The SFT-path half of the conversation-whale claim: the
+        greedy chunker scans each conversation as ONE applyInPandas
+        group — the whale conv is a single 30k-row group of 8-byte
+        rows, which must stay cheap (the chunker's docstring argues
+        per-conv groups are 'naturally bounded'; this plants the
+        counterexample and holds the wall)."""
+        import numpy as np
+
+        from sparkocr.analysis import chunk_conversations
+
+        rng = np.random.default_rng(5)
+        rows = ([("whale", t, int(rng.integers(5, 60)))
+                 for t in range(self.N_WHALE)]
+                + [(f"c{i}", t, int(rng.integers(5, 60)))
+                   for i in range(100) for t in range(10)])
+        turns = spark.createDataFrame(
+            rows, "conv_id string, turn_idx long, n_tokens long")
+        t0 = time.time()
+        out = chunk_conversations(turns, max_tokens=500)
+        stats = out.groupBy("conv").agg(
+            F.max("chunk").alias("mx"), F.count("*").alias("n")).collect()
+        wall = time.time() - t0
+        by = {r["conv"]: r for r in stats}
+        assert by["whale"]["n"] == self.N_WHALE
+        # ~32 tokens/turn avg, 500-token budget → ~15 turns per chunk
+        assert by["whale"]["mx"] > 1000
+        # one 30k-row group of skinny rows must not dominate the wall
+        # the way a text-bearing whale would (generous bound: the whole
+        # job at local[4] runs in a few seconds)
+        assert wall < 60, f"whale-conv chunking took {wall:.0f}s"
+
 
 class TestWhaleDocument:
     """One ~2.4 MB document among ~300-char documents, through the
