@@ -1450,7 +1450,9 @@ _JACCARD_CTES = """toks AS (
             ), grams_all AS (
               SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok AS gram
               FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
-            ), grams AS (
+            ), grams AS MATERIALIZED (
+              -- MATERIALIZED: two downstream consumers (sizes, common)
+              -- — as a view the tokenize+self-join above runs twice.
               -- stop-shingle guard, same max_df=100 cap as the Spark op
               SELECT g.doc_id, g.gram FROM grams_all g
               JOIN (SELECT gram FROM grams_all GROUP BY gram
@@ -1629,7 +1631,12 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sa ON sa.doc_id = doc_a
               JOIN sizes sb ON sb.doc_id = doc_b
               WHERE n_common * 1.0 / (sa.n_grams + sb.n_grams - n_common) >= 0.2
-            ), edges AS (
+            ), edges AS MATERIALIZED (
+              -- MATERIALIZED: the reach recursion below joins edges
+              -- once per iteration; left a view, DuckDB re-evaluates
+              -- the whole jaccard CTE chain (posting self-join
+              -- included) each round — the chunker-oracle lesson
+              -- (SCALING_NOTES r5), found again at the sf4 mirror
               SELECT doc_a AS src, doc_b AS dst FROM pairs
               UNION
               SELECT doc_b AS src, doc_a AS dst FROM pairs
